@@ -1,0 +1,376 @@
+"""Atom library.
+
+Covers the atom set used by the reference's tests and examples
+(/root/reference/tests/test_E2E_QP.py, test_E2E_LP.py, test_E2E_SOCP.py,
+test_explicit.py, test_diff.py, examples/*): sum_squares, quad_form, square,
+abs, norm (p in {1, 2, inf}, optional axis), minimum, maximum, multiply, sum,
+trace, vec, diff, pos, neg, reshape.
+
+Atoms are declarative; their graph implementations (epigraph / hypograph
+lowerings to affine + cone constraints) live in canon/lowering.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .expressions import (
+    AFFINE, CONCAVE, CONSTANT, CONVEX, SIGN_POS, SIGN_UNKNOWN, UNKNOWN,
+    Constant, Expression, Multiply, Reshape, broadcast_shapes, curv_neg,
+    sign_neg, to_expr,
+)
+
+
+class Atom(Expression):
+    def __init__(self, *args):
+        self.args = [to_expr(a) for a in args]
+        self.shape = self._shape_from_args()
+
+    def _shape_from_args(self):
+        return ()
+
+
+# ---------------------------------------------------------------------------
+# Affine atoms
+# ---------------------------------------------------------------------------
+
+class Sum(Atom):
+    def __init__(self, x, axis=None):
+        self.axis = axis
+        super().__init__(x)
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if self.axis is None:
+            return ()
+        if x.ndim != 2:
+            raise ValueError('axis only valid for matrices')
+        return (x.shape[1],) if self.axis == 0 else (x.shape[0],)
+
+    def curvature(self):
+        return self.args[0].curvature()
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def numeric(self, values):
+        return np.sum(values[0], axis=self.axis)
+
+
+class Trace(Atom):
+    def _shape_from_args(self):
+        x = self.args[0]
+        if x.ndim != 2 or x.shape[0] != x.shape[1]:
+            raise ValueError('trace requires a square matrix')
+        return ()
+
+    def curvature(self):
+        return self.args[0].curvature()
+
+    def sign(self):
+        return self.args[0].sign()
+
+    def numeric(self, values):
+        return np.trace(values[0])
+
+
+class Diff(Atom):
+    """First differences along a vector (cp.diff, used in test_explicit.py:18)."""
+
+    def __init__(self, x, k=1):
+        if k != 1:
+            raise NotImplementedError('only first differences supported')
+        super().__init__(x)
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if x.ndim != 1:
+            raise NotImplementedError('diff supports vectors only')
+        return (x.shape[0] - 1,)
+
+    def curvature(self):
+        return self.args[0].curvature()
+
+    def numeric(self, values):
+        return np.diff(values[0])
+
+
+# ---------------------------------------------------------------------------
+# Convex / concave atoms
+# ---------------------------------------------------------------------------
+
+def _affine_arg_curv(arg, result):
+    c = arg.curvature()
+    if c in (CONSTANT,):
+        return CONSTANT
+    if c in (AFFINE,):
+        return result
+    return UNKNOWN
+
+
+class Abs(Atom):
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.abs(values[0])
+
+
+class Norm(Atom):
+    """p-norm; p in {1, 2, inf}. axis=None reduces to scalar; axis=k applies
+    the norm along axis k of a matrix (reference test_E2E_SOCP.py:32
+    ``cp.norm(u, 2, axis=1)``)."""
+
+    def __init__(self, x, p=2, axis=None):
+        self.p = float(p) if p != 'inf' else np.inf
+        self.axis = axis
+        super().__init__(x)
+        if self.p not in (1.0, 2.0, np.inf):
+            raise NotImplementedError('norm p must be 1, 2 or inf')
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if self.axis is None:
+            return ()
+        if x.ndim != 2:
+            raise ValueError('axis only valid for matrices')
+        return (x.shape[1],) if self.axis == 0 else (x.shape[0],)
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        v = values[0]
+        if self.axis is None:
+            v = np.ravel(v, order='F')
+            return np.linalg.norm(v, self.p)
+        return np.linalg.norm(v, self.p, axis=self.axis)
+
+
+class Minimum(Atom):
+    """Elementwise minimum (concave)."""
+
+    def _shape_from_args(self):
+        s = self.args[0].shape
+        for a in self.args[1:]:
+            s = broadcast_shapes(s, a.shape)
+        return s
+
+    def curvature(self):
+        c = CONSTANT
+        for a in self.args:
+            ca = a.curvature()
+            if ca in (CONSTANT, AFFINE, CONCAVE):
+                c = CONCAVE if ca == CONCAVE or c == CONCAVE else (
+                    AFFINE if AFFINE in (ca, c) else CONSTANT)
+            else:
+                return UNKNOWN
+        return CONCAVE if c != CONSTANT else CONCAVE
+
+    def numeric(self, values):
+        out = values[0]
+        for v in values[1:]:
+            out = np.minimum(out, v)
+        return out
+
+
+class Maximum(Atom):
+    """Elementwise maximum (convex)."""
+
+    def _shape_from_args(self):
+        s = self.args[0].shape
+        for a in self.args[1:]:
+            s = broadcast_shapes(s, a.shape)
+        return s
+
+    def curvature(self):
+        for a in self.args:
+            if a.curvature() not in (CONSTANT, AFFINE, CONVEX):
+                return UNKNOWN
+        return CONVEX
+
+    def numeric(self, values):
+        out = values[0]
+        for v in values[1:]:
+            out = np.maximum(out, v)
+        return out
+
+
+class Square(Atom):
+    """Elementwise square (convex)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return values[0] ** 2
+
+
+class SumSquares(Atom):
+    """sum of squares of all entries (convex quadratic)."""
+
+    def _shape_from_args(self):
+        return ()
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return float(np.sum(np.asarray(values[0]) ** 2))
+
+
+class QuadForm(Atom):
+    """x^T M x with constant PSD (or NSD) M (reference supports parametrized
+    P only via sqrt factor products; we match test usage: constant M,
+    tests/test_explicit.py:131 ``cp.quad_form(x, P)`` with numpy P)."""
+
+    def __init__(self, x, M):
+        x = to_expr(x)
+        M = np.asarray(M.value if isinstance(M, Expression) else M, dtype=float)
+        if M.ndim != 2 or M.shape[0] != M.shape[1]:
+            raise ValueError('quad_form matrix must be square')
+        if x.size != M.shape[0]:
+            raise ValueError('quad_form dimension mismatch')
+        self.M = 0.5 * (M + M.T)
+        ev = np.linalg.eigvalsh(self.M)
+        self.psd = bool(np.all(ev >= -1e-9 * max(1.0, abs(ev).max())))
+        self.nsd = bool(np.all(ev <= 1e-9 * max(1.0, abs(ev).max())))
+        if not (self.psd or self.nsd):
+            raise ValueError('quad_form matrix must be PSD or NSD')
+        super().__init__(x)
+
+    def _shape_from_args(self):
+        return ()
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX if self.psd else CONCAVE)
+
+    def numeric(self, values):
+        v = np.ravel(values[0], order='F')
+        return float(v @ self.M @ v)
+
+
+class Pos(Atom):
+    """max(x, 0) elementwise (convex)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.maximum(values[0], 0.0)
+
+
+class NegPart(Atom):
+    """cp.neg: max(-x, 0) elementwise (convex, nonneg)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.maximum(-values[0], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Functional API (cp.* parity)
+# ---------------------------------------------------------------------------
+
+def sum(x, axis=None):  # noqa: A001 - cp.sum parity
+    return Sum(x, axis=axis)
+
+
+def trace(x):
+    return Trace(x)
+
+
+def vec(x):
+    x = to_expr(x)
+    return Reshape(x, (x.size,))
+
+
+def reshape(x, shape):
+    return Reshape(to_expr(x), shape)
+
+
+def diff(x, k=1):
+    return Diff(x, k)
+
+
+def abs(x):  # noqa: A001 - cp.abs parity
+    return Abs(x)
+
+
+def norm(x, p=2, axis=None):
+    return Norm(x, p, axis)
+
+
+def norm1(x):
+    return Norm(x, 1)
+
+
+def norm2(x):
+    return Norm(x, 2)
+
+
+def norm_inf(x):
+    return Norm(x, 'inf')
+
+
+def minimum(*args):
+    return Minimum(*args)
+
+
+def maximum(*args):
+    return Maximum(*args)
+
+
+def multiply(a, b):
+    return Multiply(to_expr(a), to_expr(b))
+
+
+def square(x):
+    return Square(x)
+
+
+def sum_squares(x):
+    return SumSquares(x)
+
+
+def quad_form(x, M):
+    return QuadForm(x, M)
+
+
+def pos(x):
+    return Pos(x)
+
+
+def neg(x):
+    return NegPart(x)

@@ -1,0 +1,406 @@
+"""Lowering: expression tree -> parametric affine/quadratic + cone constraints.
+
+Replaces the CVXPY reduction chain the reference invokes through
+``problem.get_problem_data(solver, enforce_dpp=True)`` (reference
+cvxpygen/canonicalizer.py:89-95).  Output feeds canonicalizer.py which
+assembles the canonical QP / conic tensors and their theta-affine maps.
+
+Epigraph/hypograph substitutions are sound because the Problem layer performs
+a DCP check first (atoms only appear in monotonicity-compatible positions).
+Quadratic atoms (sum_squares / quad_form / square) are allowed in the
+objective only; when their argument depends on theta, an auxiliary variable
+y == arg is introduced so P's parametric map stays affine in theta -- the
+same device CVXPY's QP canonicalization uses so that the reference's
+canonical 'P' has an affine map (reference solvers/_interface.py:139-146).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import atoms as at
+from ..constraints import Equality, Inequality, SOC
+from ..expressions import (
+    AddExpression, Constant, Expression, Index, MatMul, Multiply, Negate,
+    Parameter, Promote, Reshape, Transpose, Variable, _next_id,
+)
+from . import paraff as pa
+from .paraff import Aff, DPPError, Quad
+
+
+class AuxVar:
+    """Internal variable introduced by lowering (epigraph / quadratic aux)."""
+
+    def __init__(self, shape):
+        self.id = _next_id()
+        self.shape = tuple(shape) if not isinstance(shape, int) else (shape,)
+        self.size = int(np.prod(self.shape)) if self.shape else 1
+
+
+class ConeProgram:
+    """Lowered program: groups of cone rows + objective Quad + bookkeeping."""
+
+    def __init__(self, p1):
+        self.p1 = p1
+        self.zeros = []      # list[Aff]  (aff == 0)
+        self.nonnegs = []    # list[Aff]  (aff >= 0)
+        self.socs = []       # list[(t Aff scalar, x Aff vector)]
+        self.n_zero = 0
+        self.n_nonneg = 0
+        self.constr_records = []  # per user constraint
+        self.objective = None     # Quad
+        self.aux_vars = []
+
+    def add_zero(self, aff):
+        start = self.n_zero
+        self.zeros.append(aff)
+        self.n_zero += aff.size
+        return start
+
+    def add_nonneg(self, aff):
+        start = self.n_nonneg
+        self.nonnegs.append(aff)
+        self.n_nonneg += aff.size
+        return start
+
+    def add_soc(self, t_aff, x_aff):
+        self.socs.append((t_aff, x_aff))
+        return len(self.socs) - 1
+
+
+class Lowering:
+    def __init__(self, problem):
+        self.problem = problem
+        params = problem.parameters()
+        self.theta_offsets = {}
+        off = 0
+        for p in params:
+            self.theta_offsets[p.id] = off
+            off += p.flat_size
+        self.p = off
+        self.p1 = off + 1
+        self.prog = ConeProgram(self.p1)
+        self._cache = {}
+
+    # ------------------------------------------------------------------
+    def run(self):
+        prog = self.prog
+        # user constraints first (stable dual bookkeeping), then objective
+        for con in self.problem.constraints:
+            self._lower_constraint(con)
+        # implicit variable sign attributes (cp.Variable(nonneg=True),
+        # reference tests/test_diff.py:17)
+        for v in self.problem.variables():
+            if v.attributes.get('nonneg'):
+                prog.add_nonneg(pa.var_leaf(v, self.p1))
+            if v.attributes.get('nonpos'):
+                prog.add_nonneg(pa.neg(pa.var_leaf(v, self.p1)))
+        obj = self.problem.objective
+        expr = obj.expr
+        if obj.is_maximization:
+            expr = -expr
+        prog.objective = self.lower_obj(expr)
+        return prog
+
+    # ------------------------------------------------------------------
+    def aux(self, shape):
+        v = AuxVar(shape)
+        self.prog.aux_vars.append(v)
+        aff = Aff(v.shape, {v.id: self._identity_coeff(v.size)},
+                  pa.empty_map(v.size, self.p1), {v.id: v.size}, self.p1)
+        return aff
+
+    def _identity_coeff(self, s):
+        import scipy.sparse as spa
+        rows = np.arange(s) + s * np.arange(s)
+        return spa.coo_matrix((np.ones(s), (rows, np.full(s, self.p1 - 1))),
+                              shape=(s * s, self.p1)).tocsr()
+
+    # ------------------------------------------------------------------
+    def _lower_constraint(self, con):
+        prog = self.prog
+        if isinstance(con, Equality):
+            aff = self.lower(con.expr)
+            if not aff.coeffs:
+                raise ValueError('Equality constraint has no variables')
+            start = prog.add_zero(aff)
+            prog.constr_records.append(
+                dict(kind='zero', start=start, size=aff.size, shape=con.shape))
+        elif isinstance(con, SOC):
+            t_aff = self.lower(con.t)
+            x_aff = self.lower(con.X)
+            idx0 = len(prog.socs)
+            X = con.X
+            if X.ndim == 1:
+                prog.add_soc(t_aff, x_aff)
+            else:
+                r, c = X.shape
+                for i in range(con.n_cones):
+                    if con.axis == 0:  # cone i = column i
+                        sel = i * r + np.arange(r)
+                    else:              # cone i = row i
+                        sel = i + r * np.arange(c)
+                    xi = pa.index_select(x_aff, sel, (len(sel),))
+                    ti = pa.index_select(t_aff, [i], ())
+                    prog.add_soc(ti, xi)
+            prog.constr_records.append(
+                dict(kind='soc', cone_start=idx0, n_cones=con.n_cones,
+                     cone_dim=con.cone_dim, axis=con.axis,
+                     x_shape=X.shape, shape=con.shape))
+        elif isinstance(con, Inequality):
+            # lhs <= rhs  ->  rhs - lhs >= 0; epigraph lowering of the
+            # convex lhs / concave rhs happens inside lower()
+            aff = self.lower(con.rhs - con.lhs)
+            start = prog.add_nonneg(aff)
+            prog.constr_records.append(
+                dict(kind='nonneg', start=start, size=aff.size, shape=con.shape))
+        else:
+            raise ValueError(f'unsupported constraint {con!r}')
+
+    # ------------------------------------------------------------------
+    # affine / epigraph lowering
+    # ------------------------------------------------------------------
+    def lower(self, e: Expression) -> Aff:
+        # key on id(e) but pin the expression in the cache: temporaries must
+        # not be garbage-collected or CPython may reuse their id
+        key = id(e)
+        if key in self._cache:
+            return self._cache[key][1]
+        out = self._lower(e)
+        self._cache[key] = (e, out)
+        return out
+
+    def _lower(self, e):
+        p1 = self.p1
+        if isinstance(e, Constant):
+            return pa.constant(e.value, p1)
+        if isinstance(e, Variable):
+            return pa.var_leaf(e, p1)
+        if isinstance(e, Parameter):
+            return pa.param_leaf(e, self.theta_offsets[e.id], p1)
+        if isinstance(e, AddExpression):
+            return pa.add(self.lower(e.args[0]), self.lower(e.args[1]))
+        if isinstance(e, Negate):
+            return pa.neg(self.lower(e.args[0]))
+        if isinstance(e, Index):
+            return pa.index_select(self.lower(e.args[0]), e.flat_idx, e.shape)
+        if isinstance(e, Transpose):
+            return pa.transpose(self.lower(e.args[0]))
+        if isinstance(e, Reshape):
+            return pa.reshape(self.lower(e.args[0]), e.shape)
+        if isinstance(e, Promote):
+            return pa.promote(self.lower(e.args[0]), e.shape)
+        if isinstance(e, Multiply):
+            return self._lower_multiply(e)
+        if isinstance(e, MatMul):
+            return self._lower_matmul(e)
+        if isinstance(e, at.Sum):
+            inner = self.lower(e.args[0])
+            return pa.sum_all(inner) if e.axis is None else pa.sum_axis(inner, e.axis)
+        if isinstance(e, at.Trace):
+            return pa.trace(self.lower(e.args[0]))
+        if isinstance(e, at.Diff):
+            return pa.diff_vec(self.lower(e.args[0]))
+        if isinstance(e, at.Abs):
+            return self._epi_abs(self.lower(e.args[0]))
+        if isinstance(e, at.Norm):
+            return self._epi_norm(e)
+        if isinstance(e, at.Maximum):
+            return self._epi_minmax(e, convex=True)
+        if isinstance(e, at.Minimum):
+            return self._epi_minmax(e, convex=False)
+        if isinstance(e, at.Pos):
+            el = self.lower(e.args[0])
+            t = self.aux(e.shape)
+            self.prog.add_nonneg(pa.add(t, pa.neg(el)))
+            self.prog.add_nonneg(t)
+            return t
+        if isinstance(e, at.NegPart):
+            el = self.lower(e.args[0])
+            t = self.aux(e.shape)
+            self.prog.add_nonneg(pa.add(t, el))
+            self.prog.add_nonneg(t)
+            return t
+        if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
+            raise NotImplementedError(
+                'quadratic atoms are only supported in the objective')
+        raise NotImplementedError(f'cannot lower {type(e).__name__}')
+
+    def _lower_multiply(self, e):
+        a, b = e.args
+        out_shape = e.shape
+        if a.is_constant() and not a.parameters():
+            ca = np.asarray(a.value, dtype=float)
+            bl = self.lower(b)
+            if bl.size == 1 and ca.size > 1:
+                bl = pa.promote(bl, out_shape)
+            return pa.mul_elemwise_const(ca, bl)
+        if b.is_constant() and not b.parameters():
+            cb = np.asarray(b.value, dtype=float)
+            al = self.lower(a)
+            if al.size == 1 and cb.size > 1:
+                al = pa.promote(al, out_shape)
+            return pa.mul_elemwise_const(cb, al)
+        # parameter side x variable side
+        pa_side, var_side = (a, b) if a.is_constant() else (b, a)
+        pl = self.lower(pa_side)
+        vl = self.lower(var_side)
+        if vl.size == 1 and pl.size > 1:
+            vl = pa.promote(vl, out_shape)
+        if pl.size == 1 and vl.size > 1:
+            pass  # mul_elemwise_param broadcasts scalar pm
+        if vl.is_theta_free():
+            return pa.mul_elemwise_param(pl, vl)
+        if pl.is_theta_free():  # parameter expression that is actually const
+            return pa.mul_elemwise_const(pl.const_offset_vec().reshape(
+                pl.shape if pl.shape else ()), vl)
+        raise DPPError('multiply: product of two parametrized expressions')
+
+    def _lower_matmul(self, e):
+        a, b = e.args
+        if a.is_constant() and not a.parameters():
+            C = np.asarray(a.value, dtype=float)
+            bl = self.lower(b)
+            if C.ndim == 1:
+                C = C.reshape(1, -1)
+                out = pa.matmul_const_left(C, bl)
+                return pa.reshape(out, e.shape)
+            return pa.matmul_const_left(C, bl)
+        if b.is_constant() and not b.parameters():
+            C = np.asarray(b.value, dtype=float)
+            al = self.lower(a)
+            return pa.reshape(pa.matmul_const_right(al, C), e.shape)
+        if a.is_constant():  # parameter-affine (variable-free) left factor
+            return pa.reshape(
+                pa.matmul_param_left(self.lower(a), self.lower(b)), e.shape)
+        if b.is_constant():
+            return pa.reshape(
+                pa.matmul_param_right(self.lower(a), self.lower(b)), e.shape)
+        raise DPPError('matmul: product of two variable expressions')
+
+    # -- epigraphs -----------------------------------------------------
+    def _epi_abs(self, el):
+        t = self.aux(el.shape)
+        self.prog.add_nonneg(pa.add(t, pa.neg(el)))
+        self.prog.add_nonneg(pa.add(t, el))
+        return t
+
+    def _epi_norm(self, e):
+        el = self.lower(e.args[0])
+        if e.p == 1.0:
+            if e.axis is not None:
+                raise NotImplementedError('norm1 with axis')
+            t = self._epi_abs(el)
+            return pa.sum_all(t)
+        if e.p == np.inf:
+            if e.axis is not None:
+                raise NotImplementedError('norm_inf with axis')
+            t = self.aux(())
+            tp = pa.promote(t, el.shape if el.shape else (1,))
+            tp = pa.reshape(tp, el.shape)
+            self.prog.add_nonneg(pa.add(tp, pa.neg(el)))
+            self.prog.add_nonneg(pa.add(tp, el))
+            return t
+        # p == 2
+        if e.axis is None:
+            t = self.aux(())
+            x = pa.reshape(el, (el.size,))
+            self.prog.add_soc(t, x)
+            return t
+        arg = e.args[0]
+        r, c = arg.shape
+        n_cones = c if e.axis == 0 else r
+        t = self.aux((n_cones,))
+        for i in range(n_cones):
+            if e.axis == 0:
+                sel = i * r + np.arange(r)
+            else:
+                sel = i + r * np.arange(c)
+            xi = pa.index_select(el, sel, (len(sel),))
+            ti = pa.index_select(t, [i], ())
+            self.prog.add_soc(ti, xi)
+        return t
+
+    def _epi_minmax(self, e, convex):
+        """Maximum (epigraph t >= arg_i) / Minimum (hypograph t <= arg_i)."""
+        t = self.aux(e.shape)
+        for arg in e.args:
+            al = self.lower(arg)
+            if al.size == 1 and t.size > 1:
+                al = pa.promote(al, e.shape)
+            elif al.shape != e.shape and al.size == t.size:
+                al = pa.reshape(al, e.shape)
+            if convex:
+                self.prog.add_nonneg(pa.add(t, pa.neg(al)))
+            else:
+                self.prog.add_nonneg(pa.add(al, pa.neg(t)))
+        return t
+
+    # ------------------------------------------------------------------
+    # objective lowering (quadratic-aware)
+    # ------------------------------------------------------------------
+    def lower_obj(self, e) -> Quad:
+        if not _has_quad(e):
+            aff = self.lower(e)
+            return Quad({}, aff, dict(aff.var_sizes), self.p1)
+        if isinstance(e, AddExpression):
+            return self.lower_obj(e.args[0]) + self.lower_obj(e.args[1])
+        if isinstance(e, Negate):
+            return self.lower_obj(e.args[0]).scale_const(-1.0)
+        if isinstance(e, at.SumSquares):
+            return self._quad_of(e.args[0], M=None)
+        if isinstance(e, at.QuadForm):
+            return self._quad_of(e.args[0], M=e.M)
+        if isinstance(e, at.Square):
+            if e.size != 1:
+                raise NotImplementedError(
+                    'vector square must be wrapped in sum()/weighted sum')
+            return self._quad_of(e.args[0], M=None)
+        if isinstance(e, at.Sum) and isinstance(e.args[0], at.Square):
+            return self._quad_of(e.args[0].args[0], M=None)
+        if isinstance(e, (Multiply, MatMul)):
+            return self._lower_obj_product(e)
+        raise NotImplementedError(
+            f'quadratic atom under unsupported node {type(e).__name__}')
+
+    def _lower_obj_product(self, e):
+        a, b = e.args
+        quad_side = b if _has_quad(b) else a
+        other = a if quad_side is b else b
+        if _has_quad(other):
+            raise DPPError('product of two quadratic expressions')
+        if isinstance(quad_side, at.Square) and quad_side.size > 1:
+            # weighted sum of squares: w @ square(x) (or multiply+sum)
+            if isinstance(e, MatMul):
+                w = other
+                if w.is_constant() and not w.parameters():
+                    wv = np.asarray(w.value, dtype=float).ravel()
+                    return self._quad_of(quad_side.args[0], M=np.diag(wv))
+                wl = self.lower(w)
+                return self._quad_of(quad_side.args[0], weights=wl)
+            raise NotImplementedError('elementwise weighted square: wrap in sum()')
+        # scalar scaling of a quadratic subtree
+        q = self.lower_obj(quad_side)
+        if not other.is_scalar():
+            raise NotImplementedError('non-scalar weight on quadratic term')
+        if other.is_constant() and not other.parameters():
+            return q.scale_const(float(np.asarray(other.value)))
+        wl = self.lower(other)  # variable-free scalar (theta-affine)
+        if not wl.is_var_free():
+            raise DPPError('variable * quadratic is not DCP')
+        return q.scale_param(wl)
+
+    def _quad_of(self, inner, M=None, weights=None):
+        el = self.lower(inner)
+        if not el.is_theta_free():
+            # aux substitution keeps P's map affine in theta
+            y = self.aux((el.size,))
+            flat = pa.reshape(el, (el.size,))
+            self.prog.add_zero(pa.add(y, pa.neg(flat)))
+            el = y
+        return pa.quad_from_affine(el, M=M, weights=weights)
+
+
+def _has_quad(e):
+    if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
+        return True
+    return any(_has_quad(a) for a in e.args)
