@@ -117,6 +117,26 @@ class Family:
             theta[pi.offset:pi.offset + pi.flat_size] = flat
         return theta
 
+    def unpack_theta_grad(self, dtheta):
+        """Map a theta-gradient back to per-parameter dense gradients
+        (parity: param.gradient assembly, reference
+        templates/cpg_solver.py.jinja2:171-173)."""
+        out = {}
+        for pi in self.param_info:
+            seg = np.asarray(dtheta[pi.offset:pi.offset + pi.flat_size])
+            if pi.coords is None:
+                out[pi.name] = (seg.reshape(pi.shape, order='F')
+                                if pi.shape else float(seg[0]))
+            else:
+                g = np.zeros(pi.shape)
+                r, c = pi.coords
+                if len(pi.shape) == 2:
+                    g[r, c] = seg
+                else:
+                    g[r] = seg
+                out[pi.name] = g
+        return out
+
     # -- dense numeric canonical data (offline/NumPy; used by oracle & tests)
     def canon_numpy(self, theta):
         tt = np.concatenate([np.asarray(theta, dtype=float), [1.0]])

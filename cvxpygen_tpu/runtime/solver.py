@@ -1,0 +1,153 @@
+"""Compiled solvers: jitted batched solve functions per problem family.
+
+This is the online-path replacement for the reference's generated
+``cpg_solve`` + pybind module (reference cvxpygen/utils.py:1008-1052,
+templates/cpg_solver.py.jinja2:38-115): canonicalize -> solve -> retrieve,
+fused into one jitted function over a parameter batch.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..canon.canonicalizer import Family, retrieve_duals, retrieve_primal
+from ..problem import SolverStats
+from ..solvers.admm import ADMMSettings, admm_solve
+from .jax_family import JaxFamily, canon_batch, qp_bounds_batch
+
+
+class CompiledQPSolver:
+    """ADMM-backed compiled family solver (OSQP role).
+
+    solve_batch(theta (B, p)) -> dict with batched primal/dual/info.
+    Canonical dual convention: y_canon = -y_osqp (see
+    canon/canonicalizer.py docstring)."""
+
+    solver_name = 'ADMM'
+
+    def __init__(self, family: Family, settings: ADMMSettings = None,
+                 dtype=None):
+        if family.soc_dims:
+            raise ValueError('family has SOC cones: use CompiledConicSolver')
+        self.family = family
+        self.settings = settings or ADMMSettings()
+        self.jf = JaxFamily.from_family(family, dtype=dtype)
+        # jf passes as a pytree ARGUMENT (not a closure constant) so XLA does
+        # not constant-fold the stacked map matrices at compile time
+        self._solve_jit = jax.jit(_qp_solve_raw, static_argnames=('settings',))
+
+    def solve_batch(self, theta, settings: ADMMSettings = None,
+                    x0=None, y0=None):
+        theta = jnp.atleast_2d(jnp.asarray(theta))
+        st = settings or self.settings
+        return self._solve_jit(self.jf, theta, x0, y0, settings=st)
+
+    # -- single-instance convenience (cpg_solve parity) -----------------
+    def solve_into_problem(self, problem, **setting_overrides):
+        fam = self.family
+        theta = fam.pack_theta(params=problem.parameters())
+        st = self.settings
+        if setting_overrides:
+            import dataclasses
+            st = dataclasses.replace(st, **setting_overrides)
+        t0 = time.perf_counter()
+        out = self.solve_batch(theta[None, :], settings=st)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        solve_time = time.perf_counter() - t0
+        obj = float(out['obj'][0] + out['d'][0])
+        if fam.is_maximization:
+            obj = -obj
+        status = 'optimal' if bool(out['solved'][0]) else 'max_iter'
+        primal = retrieve_primal(fam, out['x'][0])
+        duals = retrieve_duals(fam, out['y_canon'][0])
+        stats = SolverStats(solver_name=self.solver_name,
+                            solve_time=solve_time,
+                            num_iters=int(out['iters'][0]))
+        return problem.unpack_results(status, obj, primal, duals, stats)
+
+
+def _qp_solve_raw(jf: JaxFamily, theta, x0, y0, settings: ADMMSettings):
+    data = canon_batch(jf, theta)
+    l, u = qp_bounds_batch(jf, data['b'])
+    res = admm_solve(data['P'], data['q'], data['A'], l, u,
+                     jf.n_zero, settings, x0=x0, y0=y0)
+    res['d'] = data['d']
+    res['y_canon'] = -res['y']
+    return res
+
+
+class CompiledConicSolver:
+    """IPM-backed compiled family solver (Clarabel/ECOS/SCS/QOCO role).
+
+    Our canonical rows are aff = A x + b with cone membership; the IPM form
+    needs  E x + f = 0  and  G x + h = s in K,  which is exactly (A, b)
+    split by group -- no sign flip (see canon/canonicalizer.py docstring).
+    Canonical dual convention: y_canon = [nu; z] directly."""
+
+    solver_name = 'IPM'
+
+    def __init__(self, family: Family, settings=None, dtype=None):
+        from ..solvers.ipm import IPMSettings, ipm_solve
+        self.family = family
+        self.settings = settings or IPMSettings()
+        self.jf = JaxFamily.from_family(family, dtype=dtype)
+
+        def raw(jf, theta, settings):
+            data = canon_batch(jf, theta)
+            A, b = data['A'], data['b']
+            mz = jf.n_zero
+            E, f = A[:, :mz], b[:, :mz]
+            G, h = A[:, mz:], b[:, mz:]
+            res = ipm_solve(data['P'], data['q'], E, f, G, h,
+                            jf.n_nonneg, jf.soc_dims, settings)
+            res['d'] = data['d']
+            res['y_canon'] = jnp.concatenate([res['nu'], res['z']], axis=1)
+            return res
+
+        self._solve_jit = jax.jit(raw, static_argnames=('settings',))
+
+    def solve_batch(self, theta, settings=None):
+        theta = jnp.atleast_2d(jnp.asarray(theta))
+        return self._solve_jit(self.jf, theta, settings or self.settings)
+
+    def solve_into_problem(self, problem, **setting_overrides):
+        fam = self.family
+        theta = fam.pack_theta(params=problem.parameters())
+        st = self.settings
+        if setting_overrides:
+            import dataclasses
+            st = dataclasses.replace(st, **setting_overrides)
+        t0 = time.perf_counter()
+        out = self.solve_batch(theta[None, :], settings=st)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        solve_time = time.perf_counter() - t0
+        obj = float(out['obj'][0] + out['d'][0])
+        if fam.is_maximization:
+            obj = -obj
+        status = 'optimal' if bool(out['solved'][0]) else 'max_iter'
+        primal = retrieve_primal(fam, out['x'][0])
+        duals = retrieve_duals(fam, out['y_canon'][0])
+        stats = SolverStats(solver_name=self.solver_name,
+                            solve_time=solve_time,
+                            num_iters=int(out['iters'][0]))
+        return problem.unpack_results(status, obj, primal, duals, stats)
+
+
+def make_compiled_solver(family: Family, solver='ADMM', settings=None,
+                         dtype=None):
+    """Resolve a solver name to a compiled solver.  Accepts the reference's
+    solver names as aliases (reference generator.py:161-173):
+    OSQP -> ADMM; SCS/ECOS/CLARABEL/QOCO/QOCOGEN -> IPM (conic)."""
+    name = (solver or 'ADMM').upper()
+    if name in ('ADMM', 'OSQP') and not family.soc_dims:
+        return CompiledQPSolver(family, settings=settings, dtype=dtype)
+    if name in ('ADMM', 'OSQP'):
+        raise ValueError(f'{solver}: QP-form solver but family has SOC cones')
+    if name in ('IPM', 'SCS', 'ECOS', 'CLARABEL', 'QOCO', 'QOCOGEN'):
+        return CompiledConicSolver(family, settings=settings, dtype=dtype)
+    raise ValueError(f'unknown solver {solver!r}')

@@ -2,16 +2,21 @@
 
 Tests run on a virtual 8-device CPU mesh (multi-chip sharding validated
 without TPU hardware) with float64 enabled for the oracle comparisons.
-Must set env before jax import.
+
+NOTE: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var;
+the config API must be used, before any computation.
 """
 import os
+import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_ENABLE_X64', 'true')
 
-import sys
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
