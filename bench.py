@@ -1,0 +1,104 @@
+"""Benchmark: batched MPC-QP solves/s on one chip (BASELINE.md target:
+>= 10,000 solves/s/chip on TPU v5e with objective parity vs OSQP-style C).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on the default JAX backend (the real TPU chip under the driver).
+"""
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'tests'))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from problems import MPC_problem, assign_MPC
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.runtime.jax_family import (
+        JaxFamily, canon_batch, qp_bounds_batch)
+    from cvxpygen_tpu.solvers.admm import ADMMSettings, admm_solve
+    from cvxpygen_tpu.solvers.oracle import solve_family_numpy
+
+    prob = MPC_problem()
+    assign_MPC(prob, seed=0)
+    fam = canonicalize(prob)
+
+    rng = np.random.default_rng(0)
+    thetas = []
+    for seed in range(16):
+        assign_MPC(prob, seed=seed)
+        thetas.append(fam.pack_theta(params=prob.parameters()))
+    T16 = np.stack(thetas)
+
+    dtype = jnp.float32 if jax.default_backend() != 'cpu' else None
+    jf = JaxFamily.from_family(fam, dtype=dtype)
+    # reference-parity settings (tests/utils_test.py:25-28): eps 1e-3,
+    # max_iter 4000, no adaptive rho
+    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
+                      check_interval=25)
+
+    @jax.jit
+    def step(jf, theta):
+        data = canon_batch(jf, theta)
+        l, u = qp_bounds_batch(jf, data['b'])
+        res = admm_solve(data['P'], data['q'], data['A'], l, u,
+                         jf.n_zero, st)
+        return res['x'], res['obj'] + data['d'], res['solved'], res['iters']
+
+    B = int(os.environ.get('BENCH_BATCH', '4096'))
+    theta = jnp.asarray(np.tile(T16, (B // 16 + 1, 1))[:B],
+                        dtype=dtype or jnp.float64)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    x, obj, solved, iters = step(jf, theta)
+    x.block_until_ready()
+    print(f'# compile+first run: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr, flush=True)
+
+    reps = int(os.environ.get('BENCH_REPS', '3'))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x, obj, solved, iters = step(jf, theta)
+        # force full materialization each rep (the axon tunnel's
+        # block_until_ready alone proved unreliable for timing)
+        _ = float(np.asarray(obj).sum())
+    dt = time.perf_counter() - t0
+    solves_per_s = B * reps / dt
+    print(f'# timed {reps} reps in {dt:.3f}s', file=sys.stderr, flush=True)
+
+    # objective parity vs float64 oracle on base instances
+    n_check = 8
+    obj_np = np.asarray(obj[:n_check], dtype=np.float64)
+    max_rel = 0.0
+    for i in range(n_check):
+        res, _ = solve_family_numpy(fam, T16[i])
+        tt = np.concatenate([T16[i], [1.0]])
+        ref = res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0])
+        max_rel = max(max_rel, abs(obj_np[i] - ref) / max(1.0, abs(ref)))
+
+    frac_solved = float(np.mean(np.asarray(solved)))
+    result = {
+        'metric': 'mpc_qp_solves_per_s_per_chip',
+        'value': round(solves_per_s, 1),
+        'unit': 'solves/s',
+        'vs_baseline': round(solves_per_s / 10000.0, 4),
+        'batch': B,
+        'mean_iters': float(np.mean(np.asarray(iters))),
+        'frac_solved': frac_solved,
+        'max_obj_rel_err_vs_oracle': round(max_rel, 6),
+        'backend': jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -52,12 +52,12 @@ def make_diff_solve(jf: JaxFamily, settings: ADMMSettings = None):
     def solve_fwd(theta):
         out = fwd_raw(theta)
         primal = dict(x=out['x'], y=out['y'], obj=out['obj'] + out['d'])
-        resid = (out['x'], out['y'], out['z'], out['P'], out['q'],
+        resid = (theta, out['x'], out['y'], out['z'], out['P'], out['q'],
                  out['A'], out['l'], out['u'])
         return primal, resid
 
     def solve_bwd(resid, g):
-        x, y, z, P, q, A, l, u = resid
+        theta, x, y, z, P, q, A, l, u = resid
         B, n = x.shape
         m = A.shape[1]
         dtype = x.dtype
@@ -114,11 +114,20 @@ def make_diff_solve(jf: JaxFamily, settings: ADMMSettings = None):
         dq = dq + gobj[:, None] * x
         dd = gobj
 
-        dPv = dP[:, jf.P_ij[:, 0], jf.P_ij[:, 1]]
-        dAv = dA[:, jf.A_ij[:, 0], jf.A_ij[:, 1]]
         db = -(dl + du + deq)   # l = -b (all rows), u = -b (zero rows)
+        if jf.dense_mode:
+            dPv = dP.reshape(B, n * n)
+            dAv = dA.reshape(B, m * n)
+        else:
+            dPv = dP[:, jf.P_ij[:, 0], jf.P_ij[:, 1]]
+            dAv = dA[:, jf.A_ij[:, 0], jf.A_ij[:, 1]]
         dvals = jnp.concatenate([dPv, dq, dd[:, None], dAv, db], axis=1)
         dtt = dvals @ jf.maps          # (B, p1): transpose-map chain
+        if jf.d_quad is not None:
+            # theta-quadratic objective offset: d += tt' Dq tt
+            tt = jnp.concatenate(
+                [theta, jnp.ones((theta.shape[0], 1), theta.dtype)], axis=1)
+            dtt = dtt + gobj[:, None] * (tt @ (jf.d_quad + jf.d_quad.T))
         return (dtt[:, :-1],)
 
     solve.defvjp(solve_fwd, solve_bwd)

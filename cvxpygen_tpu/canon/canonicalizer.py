@@ -78,6 +78,9 @@ class Family:
     b_map: spa.csr_matrix            # (m, p1)
 
     constr_records: List[dict] = field(default_factory=list)
+    # theta-QUADRATIC objective offset (p1, p1); affects only the reported
+    # objective value, never the minimizer (see paraff.Quad.d_quad)
+    d_quad: Optional[spa.csr_matrix] = None
 
     # ------------------------------------------------------------------
     @property
@@ -145,6 +148,8 @@ class Family:
         np.add.at(P, (self.P_idx[0], self.P_idx[1]), pv)
         q = self.q_map @ tt
         d = float(np.asarray(self.d_map @ tt).ravel()[0]) if self.d_map.shape[0] else 0.0
+        if self.d_quad is not None:
+            d += float(tt @ (self.d_quad @ tt))
         A = np.zeros((self.m, self.n))
         av = self.A_map @ tt
         np.add.at(A, (self.A_idx[0], self.A_idx[1]), av)
@@ -301,7 +306,9 @@ def canonicalize(problem: Problem) -> Family:
         P_idx=P_idx, P_map=P_map, q_map=q_map, d_map=d_map,
         m=m, n_zero=n_zero, n_nonneg=n_nonneg, soc_dims=soc_dims,
         A_idx=A_idx, A_map=A_map, b_map=b_map,
-        constr_records=prog.constr_records)
+        constr_records=prog.constr_records,
+        d_quad=(quad.d_quad if quad.d_quad is not None
+                and quad.d_quad.nnz else None))
 
 
 # ---------------------------------------------------------------------------

@@ -391,8 +391,12 @@ class Lowering:
 
     def _quad_of(self, inner, M=None, weights=None):
         el = self.lower(inner)
-        if not el.is_theta_free():
-            # aux substitution keeps P's map affine in theta
+        need_aux = not el.coeffs_theta_free()
+        if weights is not None and not el.is_theta_free():
+            need_aux = True
+        if need_aux:
+            # aux substitution keeps P's map affine in theta (a theta-affine
+            # OFFSET alone is handled directly via Quad.d_quad)
             y = self.aux((el.size,))
             flat = pa.reshape(el, (el.size,))
             self.prog.add_zero(pa.add(y, pa.neg(flat)))

@@ -441,7 +441,13 @@ def matmul_param_right(Xa: Aff, Rp: Aff):
 
 @dataclass
 class Quad:
-    """value = sum_{(va,vb)} x_va^T Q_{va,vb} x_vb + lin, scalar.
+    """value = sum_{(va,vb)} x_va^T Q_{va,vb} x_vb + lin + theta_t' Dq theta_t.
+
+    ``d_quad`` (p1, p1) captures objective constants that are QUADRATIC in
+    theta (e.g. ||b(theta)||^2 from sum_squares(Ax - b) with constant A).
+    They never affect the minimizer, only the reported objective, so the
+    canonical maps stay affine (the reference's 'd' handling,
+    solvers/_interface.py:139-146 / nonzero_d).
 
     Q maps are theta-affine ((ma*mb, p1) sparse, row = ia + ma*ib).  P
     assembly symmetrizes: P = Q_full + Q_full^T so that the canonical
@@ -452,10 +458,12 @@ class Quad:
     lin: Aff
     var_sizes: Dict[int, int]
     p1: int
+    d_quad: spa.csr_matrix = None  # (p1, p1) or None
 
     def scale_const(self, c):
         return Quad({k: c * v for k, v in self.terms.items()},
-                    scale(c, self.lin), dict(self.var_sizes), self.p1)
+                    scale(c, self.lin), dict(self.var_sizes), self.p1,
+                    None if self.d_quad is None else c * self.d_quad)
 
     def scale_param(self, pm: Aff):
         """Multiply by a variable-free scalar theta-affine factor; quadratic
@@ -469,34 +477,47 @@ class Quad:
             colvec = spa.coo_matrix((Mc.data, (Mc.row, np.zeros(Mc.nnz, dtype=int))),
                                     shape=(M.shape[0], 1))
             terms[key] = _csr(colvec @ pm.offset)
+        if self.d_quad is not None and self.d_quad.nnz:
+            raise DPPError('parameter * quadratic-in-theta offset is not DPP')
         return Quad(terms, mul_elemwise_param(pm, self.lin),
-                    dict(self.var_sizes), self.p1)
+                    dict(self.var_sizes), self.p1, None)
 
     def __add__(self, other):
         if isinstance(other, Aff):
-            other = Quad({}, other, {}, self.p1)
+            other = Quad({}, other, {}, self.p1, None)
         terms = dict(self.terms)
         for k, v in other.terms.items():
             terms[k] = terms[k] + v if k in terms else v
         sizes = dict(self.var_sizes)
         sizes.update(other.var_sizes)
-        return Quad(terms, add(self.lin, other.lin), sizes, self.p1)
+        if self.d_quad is None:
+            dq = other.d_quad
+        elif other.d_quad is None:
+            dq = self.d_quad
+        else:
+            dq = self.d_quad + other.d_quad
+        return Quad(terms, add(self.lin, other.lin), sizes, self.p1, dq)
 
 
 def quad_from_affine(a: Aff, M=None, weights: Aff = None):
-    """Build sum-of-squares / weighted quadratic from a THETA-FREE affine
-    expression:  a^T M a  (M constant, default I), or
-    sum_i w_i(theta) * a_i^2 when ``weights`` given (M must be None).
+    """Build sum-of-squares / weighted quadratic:  a^T M a  (M constant,
+    default I), or sum_i w_i(theta) * a_i^2 when ``weights`` is given.
 
-    Returns a Quad.  Requires a fully theta-free (the lowering introduces an
-    auxiliary variable otherwise, mirroring CVXPY's quadratic canonicalization
-    that keeps P's parametric map affine -- reference canon params 'P'
-    handling at solvers/_interface.py:139-146)."""
-    if not a.is_theta_free():
-        raise DPPError('quadratic over parametrized expression (internal)')
+    Requires a's variable COEFFICIENTS theta-free (else the lowering
+    introduces an auxiliary variable, keeping P's parametric map affine --
+    reference 'P' handling at solvers/_interface.py:139-146).  A
+    theta-affine OFFSET g(theta) is allowed when weights is None: it yields
+    an affine q map and a theta-QUADRATIC objective constant captured in
+    Quad.d_quad."""
+    if not a.coeffs_theta_free():
+        raise DPPError('quadratic over parametrized coefficients (internal)')
+    if weights is not None and not a.is_theta_free():
+        raise DPPError('weighted quadratic over parametrized offset (internal)')
     s = a.size
     p1 = a.p1
     g = a.const_offset_vec()
+    g_map = a.offset.tocsr()  # (s, p1), theta-affine offset
+    theta_free_offset = a.is_theta_free()
     if weights is not None:
         W = None
     else:
@@ -551,19 +572,16 @@ def quad_from_affine(a: Aff, M=None, weights: Aff = None):
                 pass
             terms[key] = terms.get(key, empty_map(Qmap.shape[0], p1)) + Qmap
 
-    # linear part: 2 g^T W F x  (or 2 sum_i w_i g_i F_i x) ;  const: g^T W g
-    lin_off_terms = []
+    # linear part: 2 g(theta)^T W F x  (or 2 sum_i w_i g_i F_i x)
     lin = zeros((), p1)
+    d_quad = None
     for vid in vids:
         F = consts[vid]
         if weights is None:
-            qv = 2.0 * (g @ W @ F)  # (m,)
-            qv = np.asarray(qv).ravel()
-            m = a.var_sizes[vid]
-            nz = np.nonzero(qv)[0]
-            cmap = spa.coo_matrix((qv[nz], (nz, np.full(len(nz), p1 - 1))),
-                                  shape=(m, p1))
-            av = Aff((), {vid: _csr(cmap)}, empty_map(1, p1), {vid: m}, p1)
+            # q_map_block = 2 F' W g_map  -- affine in theta
+            cmap = _csr(2.0 * (F.T @ W @ g_map))
+            av = Aff((), {vid: cmap}, empty_map(1, p1),
+                     {vid: a.var_sizes[vid]}, p1)
         else:
             # q_j(theta) = 2 sum_i w_i(theta) g_i F[i,j]
             Fc = F.tocoo()
@@ -574,9 +592,11 @@ def quad_from_affine(a: Aff, M=None, weights: Aff = None):
                      {vid: a.var_sizes[vid]}, p1)
         lin = add(lin, av)
     if weights is None:
-        dval = float(g @ W @ g)
-        lin = add(lin, constant(dval, p1))
+        if theta_free_offset:
+            lin = add(lin, constant(float(g @ W @ g), p1))
+        else:
+            d_quad = _csr(g_map.T @ W @ g_map)  # (p1, p1) theta-quadratic
     else:
         D0 = spa.csr_matrix((g * g).reshape(1, s))
         lin = add(lin, Aff((), {}, _csr(D0 @ weights.offset), {}, p1))
-    return Quad(terms, lin, dict(a.var_sizes), p1)
+    return Quad(terms, lin, dict(a.var_sizes), p1, d_quad)

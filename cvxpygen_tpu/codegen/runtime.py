@@ -1,0 +1,294 @@
+"""Runtime object behind generated solver packages.
+
+Plays the role of the reference's compiled pybind module + python wrapper
+(reference templates/cpg_solver.py.jinja2:38-213, cpp module emitted by
+utils.py:1163-1412): holds the compiled family, caches theta between calls
+honouring ``updated_params``, exposes cpg_solve / forward / backward /
+cpg_gradient with the reference's call signatures.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from ..canon.canonicalizer import Family, retrieve_duals, retrieve_primal
+from ..problem import SolverStats
+from ..runtime.solver import make_compiled_solver
+from ..solvers.admm import ADMMSettings
+from ..solvers.ipm import IPMSettings
+
+_ADMM_SETTING_NAMES = {f.name for f in dataclasses.fields(ADMMSettings)}
+_IPM_SETTING_NAMES = {f.name for f in dataclasses.fields(IPMSettings)}
+# reference-name translation (reference osqp.py:102-115 settings registry)
+_SETTING_ALIASES = {
+    'max_iter': 'max_iter', 'eps_abs': 'eps_abs', 'eps_rel': 'eps_rel',
+    'rho': 'rho', 'sigma': 'sigma', 'alpha': 'alpha',
+    'warm_starting': 'warm_starting', 'warm_start': 'warm_starting',
+}
+
+
+class CpgRuntime:
+    def __init__(self, family: Family, solver_name='ADMM', prefix='',
+                 gradient=False, enable_settings=None, dtype=None):
+        self.family = family
+        self.prefix = prefix
+        self.gradient_enabled = gradient
+        self.enable_settings = enable_settings or []
+        self.solver = make_compiled_solver(family, solver_name, dtype=dtype)
+        self.requested_solver = solver_name
+        self._theta = None
+        self._ctx = None  # last-solve context for gradients
+
+    # -- settings -------------------------------------------------------
+    def _settings(self, kwargs):
+        base = self.solver.settings
+        names = (_ADMM_SETTING_NAMES if isinstance(base, ADMMSettings)
+                 else _IPM_SETTING_NAMES)
+        upd = {}
+        for k, v in kwargs.items():
+            k2 = _SETTING_ALIASES.get(k, k)
+            if k2 in names:
+                upd[k2] = v
+            elif k in ('verbose',):
+                continue
+            else:
+                # parity: reference warns on unknown settings
+                # (_interface.py:125-130)
+                import warnings
+                warnings.warn(f'ignoring unknown setting {k!r}')
+        return dataclasses.replace(base, **upd) if upd else base
+
+    # -- theta caching with updated_params ------------------------------
+    def _pack(self, prob, updated_params):
+        fam = self.family
+        if self._theta is None or updated_params is None:
+            self._theta = fam.pack_theta(params=prob.parameters())
+        else:
+            for pi in fam.param_info:
+                if pi.name in updated_params:
+                    src = [p for p in prob.parameters() if p.id == pi.pid]
+                    flat = (src[0].flatten_value() if src else
+                            fam.pack_theta(params=prob.parameters())
+                            [pi.offset:pi.offset + pi.flat_size])
+                    self._theta[pi.offset:pi.offset + pi.flat_size] = flat
+        return self._theta
+
+    # -- main solve (method='CPG') --------------------------------------
+    def cpg_solve(self, prob, updated_params=None, **kwargs):
+        st = self._settings(kwargs)
+        theta = self._pack(prob, updated_params)
+        t0 = time.perf_counter()
+        out = self.solver.solve_batch(theta[None, :], settings=st)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        solve_time = time.perf_counter() - t0
+        fam = self.family
+        obj = float(out['obj'][0] + out['d'][0])
+        if fam.is_maximization:
+            obj = -obj
+        # parity: +-1e30 <-> inf decoding (reference utils.py:213-228)
+        if obj >= 1e29:
+            obj = np.inf
+        elif obj <= -1e29:
+            obj = -np.inf
+        solved = bool(out['solved'][0])
+        status = 'optimal' if solved else 'max_iter'
+        primal = retrieve_primal(fam, out['x'][0])
+        duals = retrieve_duals(fam, out['y_canon'][0])
+        stats = SolverStats(
+            solver_name=self.requested_solver, solve_time=solve_time,
+            num_iters=int(out['iters'][0]),
+            extra=dict(pri_res=float(out.get('pri_res', out.get('res_primal'))[0]),
+                       dua_res=float(out.get('dua_res', out.get('res_dual'))[0])))
+        self._ctx = dict(out=out, theta=theta.copy())
+        return prob.unpack_results(status, obj, primal, duals, stats)
+
+    # -- gradients (gradient=True parity) --------------------------------
+    def cpg_gradient(self, prob):
+        """Read var.gradient seeds, write param.gradient (reference
+        cpg_solver.py.jinja2:133-173)."""
+        if not self.gradient_enabled:
+            raise RuntimeError('generate_code was called without gradient=True')
+        if self._ctx is None:
+            raise RuntimeError('solve before calling cpg_gradient')
+        fam = self.family
+        gx = np.zeros(fam.n)
+        for vi in fam.user_vars:
+            var = [v for v in prob.variables() if v.id == vi.vid]
+            if var and var[0].gradient is not None:
+                gx[vi.offset:vi.offset + vi.size] = np.ravel(
+                    np.asarray(var[0].gradient, dtype=float), order='F')
+        dtheta = self._grad_theta(gx)
+        grads = fam.unpack_theta_grad(dtheta)
+        for p in prob.parameters():
+            name = p.name()
+            if name in grads:
+                p.gradient = grads[name]
+        return grads
+
+    def _grad_theta(self, gx):
+        """Single-instance implicit differentiation (float64 NumPy), same
+        math as diff/qp_diff.py (reference grad template
+        cpg_osqp_grad_compute.c.jinja2:432-531)."""
+        fam = self.family
+        theta = self._ctx['theta']
+        P, q, d, A, b = fam.canon_numpy(theta)
+        l, u = fam.qp_bounds(b)
+        out = self._ctx['out']
+        x = out['x'][0]
+        y = -out['y_canon'][0]  # back to OSQP sign
+        z = out.get('z', [A @ x])[0]
+        n, m = fam.n, fam.m
+        eps, reg = 1e-7, 1e-9
+        act_low = (y < -eps) | (np.abs(z - l) < eps)
+        act_up = (y > eps) | (np.abs(z - u) < eps)
+        act = act_low | act_up
+        Am = A * act[:, None]
+        K = np.zeros((n + m, n + m))
+        K[:n, :n] = P + reg * np.eye(n)
+        K[:n, n:] = Am.T
+        K[n:, :n] = Am
+        K[n + np.arange(m), n + np.arange(m)] = np.where(act, -reg, -1e9)
+        rhs = np.concatenate([gx, np.zeros(m)])
+        sol = np.linalg.solve(K, rhs)
+        rx, ry = sol[:n], sol[n:] * act
+        dq = -rx
+        dP = -0.5 * (np.outer(rx, x) + np.outer(x, rx))
+        dA = -(np.outer(y, rx) + np.outer(ry, x))
+        dl = np.where(act_low & ~act_up, ry, 0.0)
+        du = np.where(act_up & ~act_low, ry, 0.0)
+        deq = np.where(act_low & act_up, ry, 0.0)
+        db = -(dl + du + deq)
+        dPv = dP[fam.P_idx[0], fam.P_idx[1]]
+        dAv = dA[fam.A_idx[0], fam.A_idx[1]]
+        dvals = np.concatenate([dPv, dq, [0.0], dAv, db])
+        stacked = np.vstack([
+            fam.P_map.toarray(), fam.q_map.toarray(), fam.d_map.toarray(),
+            fam.A_map.toarray(), fam.b_map.toarray()])
+        dtt = dvals @ stacked
+        return dtt[:-1]
+
+    # -- cvxpylayers-style forward/backward ------------------------------
+    def forward(self, prob, updated_params=None, **kwargs):
+        val = self.cpg_solve(prob, updated_params=updated_params, **kwargs)
+        info = dict(obj=val, ctx=self._ctx)
+        return [v.value for v in prob.variables()], info
+
+    def backward(self, prob, **kwargs):
+        return self.cpg_gradient(prob)
+
+
+class ExplicitRuntime:
+    """Runtime for solver='explicit' packages (PDAQP role; reference
+    pdaqp.py + utils.py:1012-1067 explicit solve path)."""
+
+    def __init__(self, family: Family, explicit=1, prefix='', gradient=False,
+                 solver_opts=None, theta_ref=None, _saved_data=None):
+        opts = dict(solver_opts or {})
+        self.family = family
+        self.prefix = prefix
+        self.gradient_enabled = gradient
+        self.explicit = 2 if opts.get('dual') else explicit
+        if _saved_data is not None:
+            self.data = _saved_data
+        else:
+            from ..solvers.explicit import (
+                build_explicit_data, enumerate_regions, extract_mpqp)
+            mp = extract_mpqp(family, theta_ref=theta_ref)
+            regions = enumerate_regions(
+                mp, max_regions=int(opts.get('max_regions', 500)))
+            stored_idx = None
+            if opts.get('stored_vars') is not None:
+                stored_idx = _stored_idx(family, opts['stored_vars'])
+            self.data = build_explicit_data(
+                family, regions, mp, stored_idx=stored_idx,
+                dual=(self.explicit == 2), fp16=bool(opts.get('fp16', False)))
+        self._ctx = None
+
+    @classmethod
+    def from_saved(cls, family, data, explicit=1, prefix='', gradient=False):
+        return cls(family, explicit=explicit, prefix=prefix,
+                   gradient=gradient, _saved_data=data)
+
+    def solve_batch(self, theta):
+        from ..solvers.explicit import explicit_evaluate
+        return explicit_evaluate(self.data, np.atleast_2d(theta),
+                                 want_dual=(self.explicit == 2))
+
+    def cpg_solve(self, prob, updated_params=None, **kwargs):
+        fam = self.family
+        theta = fam.pack_theta(params=prob.parameters())
+        t0 = time.perf_counter()
+        xs, y, region = self.solve_batch(theta[None, :])
+        solve_time = time.perf_counter() - t0
+        x_full = np.zeros(fam.n)
+        x_full[self.data.store_idx] = np.asarray(xs[0], dtype=float)
+        primal = retrieve_primal(fam, x_full)
+        if y is not None:
+            duals = retrieve_duals(fam, np.asarray(y[0], dtype=float))
+        else:
+            duals = [None] * len(fam.constr_records)
+        # objective on demand (parity: cpg_obj, utils.py:1054-1067)
+        P, q, d, _, _ = fam.canon_numpy(theta)
+        obj = float(0.5 * x_full @ P @ x_full + q @ x_full + d)
+        if fam.is_maximization:
+            obj = -obj
+        stats = SolverStats(solver_name='EXPLICIT', solve_time=solve_time,
+                            num_iters=1,
+                            extra=dict(region=int(np.asarray(region)[0])))
+        self._ctx = dict(theta=theta.copy(),
+                         region=int(np.asarray(region)[0]))
+        return prob.unpack_results('optimal', obj, primal, duals, stats)
+
+    def cpg_gradient(self, prob):
+        """Explicit gradient via region feedback transpose (reference
+        pdaqp gradient patch, pdaqp.py:237-261; writer.py:418-516)."""
+        if self._ctx is None:
+            raise RuntimeError('solve before calling cpg_gradient')
+        fam = self.family
+        gx_store = np.zeros(len(self.data.store_idx))
+        full_g = np.zeros(fam.n)
+        for vi in fam.user_vars:
+            var = [v for v in prob.variables() if v.id == vi.vid]
+            if var and var[0].gradient is not None:
+                full_g[vi.offset:vi.offset + vi.size] = np.ravel(
+                    np.asarray(var[0].gradient, dtype=float), order='F')
+        gx_store = full_g[self.data.store_idx]
+        FB = np.asarray(self.data.FB[self._ctx['region']], dtype=float)
+        p_r = FB.shape[1] - 1
+        dth_red = FB[:, :p_r].T @ gx_store
+        dtheta = np.zeros(fam.p)
+        dtheta[self.data.th_sel] = dth_red
+        grads = fam.unpack_theta_grad(dtheta)
+        for p in prob.parameters():
+            if p.name() in grads:
+                p.gradient = grads[p.name()]
+        return grads
+
+    def forward(self, prob, updated_params=None, **kwargs):
+        val = self.cpg_solve(prob, updated_params=updated_params, **kwargs)
+        return [v.value for v in prob.variables()], dict(
+            obj=val, region=self._ctx['region'])
+
+    def backward(self, prob, **kwargs):
+        return self.cpg_gradient(prob)
+
+
+def _stored_idx(family: Family, stored_vars):
+    """Map stored_vars (Variable or Index-of-Variable expressions) to
+    global x indices (reference pdaqp.py:143-199 stored_vars)."""
+    from ..expressions import Index, Variable
+    idx = []
+    for sv in stored_vars:
+        if isinstance(sv, Variable):
+            vi = [v for v in family.var_info if v.vid == sv.id][0]
+            idx.extend(range(vi.offset, vi.offset + vi.size))
+        elif isinstance(sv, Index) and isinstance(sv.args[0], Variable):
+            base = sv.args[0]
+            vi = [v for v in family.var_info if v.vid == base.id][0]
+            idx.extend((vi.offset + np.asarray(sv.flat_idx)).tolist())
+        else:
+            raise ValueError('stored_vars entries must be variables or '
+                             'simple variable slices')
+    return np.array(sorted(set(idx)), dtype=int)

@@ -41,6 +41,8 @@ def solve_via_compiled(problem, solver=None, verbose=False, **kwargs):
 
     tt = np.concatenate([theta, [1.0]])
     d = float(np.asarray(fam.d_map @ tt).ravel()[0]) if fam.d_map.shape[0] else 0.0
+    if fam.d_quad is not None:
+        d += float(tt @ (fam.d_quad @ tt))
     obj = res.obj + d
     if fam.is_maximization:
         obj = -obj

@@ -39,67 +39,109 @@ class JaxFamily:
     is_maximization: bool
 
     # device arrays
-    maps: Any          # (N_total, p1) stacked dense map [P | q | d | A | b]
-    P_ij: Any          # (nP, 2) int32 scatter indices
-    A_ij: Any          # (nA, 2)
-    # section sizes (static)
+    maps: Any          # (N_total, p1) stacked map; layout depends on mode
+    d_quad: Any = None  # (p1, p1) theta-quadratic objective offset
+    P_ij: Any = None    # scatter indices (scatter mode only)
+    A_ij: Any = None
+    # static
+    dense_mode: bool = True
     nP: int = 0
     nA: int = 0
 
     def tree_flatten(self):
-        leaves = (self.maps, self.P_ij, self.A_ij)
+        leaves = (self.maps, self.d_quad, self.P_ij, self.A_ij)
         aux = (self.n, self.m, self.p, self.n_zero, self.n_nonneg,
-               self.soc_dims, self.is_maximization, self.nP, self.nA)
+               self.soc_dims, self.is_maximization, self.dense_mode,
+               self.nP, self.nA)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        maps, P_ij, A_ij = leaves
-        n, m, p, nz, nn, soc, ismax, nP, nA = aux
-        return cls(n, m, p, nz, nn, soc, ismax, maps, P_ij, A_ij, nP, nA)
+        maps, d_quad, P_ij, A_ij = leaves
+        n, m, p, nz, nn, soc, ismax, dense, nP, nA = aux
+        return cls(n, m, p, nz, nn, soc, ismax, maps, d_quad, P_ij, A_ij,
+                   dense, nP, nA)
 
     # ------------------------------------------------------------------
+    DENSE_LIMIT = 3e7  # max dense-map entries (~120MB f32)
+
     @classmethod
     def from_family(cls, fam: Family, dtype=None):
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
-        nP = len(fam.P_idx[0])
-        nA = len(fam.A_idx[0])
+        n, m, p1 = fam.n, fam.m, fam.p1
+        d_quad = (jnp.asarray(fam.d_quad.toarray(), dtype=dtype)
+                  if getattr(fam, 'd_quad', None) is not None
+                  else jnp.zeros((fam.p1, fam.p1), dtype=dtype))
+        dense_entries = (n * n + m * n + n + m + 1) * p1
+        if dense_entries <= cls.DENSE_LIMIT:
+            # scatter-free layout: P and A rows cover EVERY dense entry
+            # (row i*n + j) -- canonicalization is one GEMM + reshape (XLA
+            # TPU scatters proved a compile/fusion hazard)
+            stacked = np.vstack([
+                _expand_rows(fam.P_map, fam.P_idx, n * n, n),
+                fam.q_map.toarray(),
+                fam.d_map.toarray(),
+                _expand_rows(fam.A_map, fam.A_idx, m * n, n),
+                fam.b_map.toarray(),
+            ])
+            return cls(
+                n=n, m=m, p=fam.p, n_zero=fam.n_zero,
+                n_nonneg=fam.n_nonneg, soc_dims=tuple(fam.soc_dims),
+                is_maximization=fam.is_maximization,
+                maps=jnp.asarray(stacked, dtype=dtype), d_quad=d_quad,
+                dense_mode=True)
+        # scatter layout for large families: map rows only for nonzeros
         stacked = np.vstack([
-            fam.P_map.toarray(),
-            fam.q_map.toarray(),
-            fam.d_map.toarray(),
-            fam.A_map.toarray(),
-            fam.b_map.toarray(),
-        ])
+            fam.P_map.toarray(), fam.q_map.toarray(), fam.d_map.toarray(),
+            fam.A_map.toarray(), fam.b_map.toarray()])
         return cls(
-            n=fam.n, m=fam.m, p=fam.p, n_zero=fam.n_zero,
+            n=n, m=m, p=fam.p, n_zero=fam.n_zero,
             n_nonneg=fam.n_nonneg, soc_dims=tuple(fam.soc_dims),
             is_maximization=fam.is_maximization,
-            maps=jnp.asarray(stacked, dtype=dtype),
-            P_ij=jnp.asarray(np.stack(fam.P_idx, axis=1), dtype=jnp.int32),
-            A_ij=jnp.asarray(np.stack(fam.A_idx, axis=1), dtype=jnp.int32),
-            nP=nP, nA=nA)
+            maps=jnp.asarray(stacked, dtype=dtype), d_quad=d_quad,
+            P_ij=jnp.asarray(np.stack(fam.P_idx, 1), jnp.int32),
+            A_ij=jnp.asarray(np.stack(fam.A_idx, 1), jnp.int32),
+            dense_mode=False, nP=len(fam.P_idx[0]), nA=len(fam.A_idx[0]))
+
+
+def _expand_rows(map_csr, idx, total_rows, n):
+    """Place map rows at dense positions i*n + j."""
+    import scipy.sparse as spa
+    rows = idx[0] * n + idx[1]
+    nr = len(rows)
+    S = spa.coo_matrix((np.ones(nr), (rows, np.arange(nr))),
+                       shape=(total_rows, nr))
+    return np.asarray((S @ map_csr).todense())
 
 
 def canon_batch(jf: JaxFamily, theta):
-    """theta (B, p) -> dict of batched canonical tensors."""
+    """theta (B, p) -> dict of batched canonical tensors (one GEMM)."""
     B = theta.shape[0]
     dtype = jf.maps.dtype
     tt = jnp.concatenate(
         [theta.astype(dtype), jnp.ones((B, 1), dtype=dtype)], axis=1)
     vals = tt @ jf.maps.T  # (B, N_total) -- single GEMM
+    n, m = jf.n, jf.m
     o = 0
-    pv = vals[:, o:o + jf.nP]; o += jf.nP
-    q = vals[:, o:o + jf.n]; o += jf.n
-    d = vals[:, o]; o += 1
-    av = vals[:, o:o + jf.nA]; o += jf.nA
-    b = vals[:, o:o + jf.m]
-
-    P = jnp.zeros((B, jf.n, jf.n), dtype=dtype)
-    P = P.at[:, jf.P_ij[:, 0], jf.P_ij[:, 1]].add(pv, unique_indices=True)
-    A = jnp.zeros((B, jf.m, jf.n), dtype=dtype)
-    A = A.at[:, jf.A_ij[:, 0], jf.A_ij[:, 1]].add(av, unique_indices=True)
+    if jf.dense_mode:
+        P = vals[:, o:o + n * n].reshape(B, n, n); o += n * n
+        q = vals[:, o:o + n]; o += n
+        d = vals[:, o]; o += 1
+        A = vals[:, o:o + m * n].reshape(B, m, n); o += m * n
+        b = vals[:, o:o + m]
+    else:
+        pv = vals[:, o:o + jf.nP]; o += jf.nP
+        q = vals[:, o:o + n]; o += n
+        d = vals[:, o]; o += 1
+        av = vals[:, o:o + jf.nA]; o += jf.nA
+        b = vals[:, o:o + m]
+        P = jnp.zeros((B, n, n), dtype)
+        P = P.at[:, jf.P_ij[:, 0], jf.P_ij[:, 1]].add(pv, unique_indices=True)
+        A = jnp.zeros((B, m, n), dtype)
+        A = A.at[:, jf.A_ij[:, 0], jf.A_ij[:, 1]].add(av, unique_indices=True)
+    if jf.d_quad is not None:
+        d = d + jnp.einsum('bp,pq,bq->b', tt, jf.d_quad, tt)
     return dict(P=P, q=q, d=d, A=A, b=b)
 
 

@@ -38,6 +38,17 @@ class ADMMSettings:
     check_interval: int = 25
     scaling: int = 10
     warm_starting: bool = True
+    # KKT application mode:
+    #   'ns'   Newton-Schulz iterations for M^{-1}: pure batched matmuls on
+    #          the MXU, no factorization at all -- the TPU-first choice
+    #          (XLA's batched Cholesky/triangular-solve lowering measured
+    #          minutes per call at B=1024, n=222 on v5e);
+    #   'inv'  Cholesky once + explicit inverse (good on CPU/x64);
+    #   'chol' triangular solves every iteration (reference-like);
+    #   'auto' 'ns' on TPU, 'inv' elsewhere.
+    kkt_solver: str = 'auto'
+    kkt_refine: int = 1
+    ns_iters: int = 30
 
 
 def _inf_norm(v, axis=-1):
@@ -82,12 +93,42 @@ def ruiz_equilibrate(P, q, A, l, u, iters):
     return P, q, A, l, u, c, D, E
 
 
+def newton_schulz_inverse(M, iters):
+    """Batched SPD inverse by Newton-Schulz: X <- X(2I - MX).
+
+    Pure matmuls (MXU speed-of-light path); quadratic convergence from
+    X0 = M' / (||M||_1 ||M||_inf).  Combined with the iterative-refinement
+    step in kkt_apply, moderate inverse accuracy suffices for the solver
+    tolerances."""
+    B, n, _ = M.shape
+    dtype = M.dtype
+    ninf = jnp.max(jnp.sum(jnp.abs(M), axis=2), axis=1)
+    X = jnp.swapaxes(M, 1, 2) / (ninf * ninf)[:, None, None]
+    I2 = 2.0 * jnp.eye(n, dtype=dtype)
+
+    def body(_, X):
+        MX = jnp.einsum('bij,bjk->bik', M, X)
+        return jnp.einsum('bij,bjk->bik', X, I2 - MX)
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
 def admm_solve(P, q, A, l, u, n_eq, settings: ADMMSettings,
                x0=None, y0=None):
     """Solve a batch of QPs.  All arrays batched on axis 0.
 
     Returns dict(x, y, z, obj, iters, pri_res, dua_res, solved) with y in
-    OSQP sign convention (Px + q + A'y = 0 at optimum)."""
+    OSQP sign convention (Px + q + A'y = 0 at optimum).
+
+    NOTE: TPU matmuls default to bf16 accumulation, which stalls ADMM above
+    the 1e-3 termination bars; the body runs under full-f32 matmul
+    precision."""
+    with jax.default_matmul_precision('highest'):
+        return _admm_solve_impl(P, q, A, l, u, n_eq, settings, x0, y0)
+
+
+def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
+                     x0=None, y0=None):
     B, m, n = A.shape
     dtype = P.dtype
     st = settings
@@ -121,7 +162,34 @@ def admm_solve(P, q, A, l, u, n_eq, settings: ADMMSettings,
 
     M = (Ps + st.sigma * jnp.eye(n, dtype=dtype)
          + jnp.einsum('bki,bk,bkj->bij', As, rho_vec, As))
-    Lc = jnp.linalg.cholesky(M)
+    kkt_mode = st.kkt_solver
+    if kkt_mode == 'auto':
+        kkt_mode = 'ns' if jax.default_backend() not in ('cpu',) else 'inv'
+    if kkt_mode == 'ns':
+        Minv = newton_schulz_inverse(M, st.ns_iters)
+
+        def kkt_apply(rhs):
+            xt = jnp.einsum('bij,bj->bi', Minv, rhs)
+            for _ in range(st.kkt_refine):
+                r = rhs - jnp.einsum('bij,bj->bi', M, xt)
+                xt = xt + jnp.einsum('bij,bj->bi', Minv, r)
+            return xt
+    elif kkt_mode == 'inv':
+        Lc = jnp.linalg.cholesky(M)
+        Minv = jax.scipy.linalg.cho_solve(
+            (Lc, True), jnp.broadcast_to(jnp.eye(n, dtype=dtype), M.shape))
+
+        def kkt_apply(rhs):
+            xt = jnp.einsum('bij,bj->bi', Minv, rhs)
+            for _ in range(st.kkt_refine):
+                r = rhs - jnp.einsum('bij,bj->bi', M, xt)
+                xt = xt + jnp.einsum('bij,bj->bi', Minv, r)
+            return xt
+    else:
+        Lc = jnp.linalg.cholesky(M)
+
+        def kkt_apply(rhs):
+            return jax.scipy.linalg.cho_solve((Lc, True), rhs[..., None])[..., 0]
 
     if x0 is not None:
         x_init = D_inv * x0.astype(dtype)
@@ -137,7 +205,7 @@ def admm_solve(P, q, A, l, u, n_eq, settings: ADMMSettings,
     def one_iter(carry):
         x, z, y = carry
         rhs = st.sigma * x - qs + jnp.einsum('bkj,bk->bj', As, rho_vec * z - y)
-        xt = jax.scipy.linalg.cho_solve((Lc, True), rhs[..., None])[..., 0]
+        xt = kkt_apply(rhs)
         zt = jnp.einsum('bij,bj->bi', As, xt)
         x1 = st.alpha * xt + (1 - st.alpha) * x
         w = st.alpha * zt + (1 - st.alpha) * z + rho_inv * y

@@ -1,0 +1,389 @@
+"""Explicit (multi-parametric QP) solver -- the reference's PDAQP role.
+
+The reference shells out to the Julia-backed ``pdaqp`` package for offline
+region enumeration and emits a binary-search-tree C evaluator (reference
+cvxpygen/solvers/pdaqp.py:201-219).  Here both halves are rebuilt:
+
+- offline (NumPy, code-time): active-set region enumeration for
+      min 0.5 x'Hx + f(th)'x   s.t.  G x <= w(th),  E x = e(th)
+  with f, w, e affine in th; graph exploration from the Chebyshev-like
+  center plus a sampling-repair pass that guarantees coverage of the
+  sampled domain (caps: max_regions parity, pdaqp.py:83-84);
+
+- online (JAX): TPU-first FLAT evaluation instead of a BST -- all regions'
+  optimality tests are evaluated as one batched GEMM and the region with
+  the largest minimum slack wins (argmax), then the affine feedback
+  x = F_r th + g_r is gathered and applied.  O(1) depth, MXU-friendly,
+  batched over thousands of instances; fp16/bf16 storage option matches
+  the reference's fp16 flag (pdaqp.py:87).
+
+Supports ``explicit=1`` (primal only) and ``explicit=2`` (with dual
+feedbacks) and ``stored_vars`` subsetting (reference pdaqp.py:143-199).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import scipy.optimize as sopt
+
+from ..canon.canonicalizer import Family
+
+
+class ExplicitError(ValueError):
+    pass
+
+
+@dataclass
+class MpQP:
+    """One-sided mpQP data extracted from a Family."""
+    H: np.ndarray            # (n, n) constant
+    f0: np.ndarray           # (n,)
+    F: np.ndarray            # (n, p_r) reduced-theta map
+    G: np.ndarray            # (mi, n) inequality rows
+    w0: np.ndarray           # (mi,)
+    Wm: np.ndarray           # (mi, p_r)
+    E: np.ndarray            # (me, n) equality rows
+    e0: np.ndarray
+    Em: np.ndarray           # (me, p_r)
+    th_lb: np.ndarray        # (p_r,) parameter domain box
+    th_ub: np.ndarray
+    th_mask: np.ndarray      # (p,) bool: which theta entries are active
+    row_origin: np.ndarray   # (mi,) canonical row index of each ineq row
+    row_sign: np.ndarray     # (mi,) +1 upper (A x <= u), -1 lower
+
+
+@dataclass
+class Region:
+    active: tuple
+    Xc: np.ndarray           # x = Xc + Xt th
+    Xt: np.ndarray
+    Lc: np.ndarray           # lambda_S = Lc + Lt th (ineq rows in S)
+    Lt: np.ndarray
+    Ec_dual: np.ndarray      # equality duals affine part
+    Et_dual: np.ndarray
+    Tc: np.ndarray           # region: Tc + Tt th >= 0
+    Tt: np.ndarray
+
+
+def extract_mpqp(fam: Family, theta_ref=None) -> MpQP:
+    """Family -> mpQP.  Requires P and A theta-free (parity:
+    reference pdaqp.py:90-92 'P and A must be constant')."""
+    p1 = fam.p1
+    for name, M in (('P', fam.P_map), ('A', fam.A_map)):
+        C = M.tocoo()
+        if C.nnz and np.any(C.col != p1 - 1):
+            raise ExplicitError(
+                f'explicit solver requires parameter-independent {name}')
+    tt0 = np.zeros(p1)
+    tt0[-1] = 1.0
+    P, q0, d0, A, b0 = fam.canon_numpy(np.zeros(fam.p))
+    n, m = fam.n, fam.m
+    # theta maps of q and b
+    Fq = fam.q_map.toarray()[:, :-1]       # (n, p)
+    Bb = fam.b_map.toarray()[:, :-1]       # (m, p)
+
+    # H must be PD; regularize PSD families slightly (documented deviation)
+    evs = np.linalg.eigvalsh(P)
+    if evs[0] < 1e-10:
+        P = P + max(1e-8, -evs[0] * 10 + 1e-8) * np.eye(n)
+
+    # split rows: zero rows -> equalities; pure-parameter rows (zero A row)
+    # -> theta-domain bounds (parity: pdaqp.py:264-304); others one-sided
+    row_nrm = np.abs(A).max(axis=1) if m else np.zeros(0)
+    th_lb = np.full(fam.p, -np.inf)
+    th_ub = np.full(fam.p, np.inf)
+
+    E_rows, e0_l, Em_l = [], [], []
+    G_rows, w0_l, Wm_l, orig_l, sign_l = [], [], [], [], []
+    for r in range(m):
+        is_zero_row = r < fam.n_zero
+        if row_nrm[r] < 1e-12:
+            # pure-parameter constraint: b_r(th) >= 0 (nonneg rows);
+            # single-entry rows become box bounds on theta
+            vr = Bb[r]
+            nz = np.nonzero(np.abs(vr) > 1e-14)[0]
+            if is_zero_row or len(nz) == 0:
+                continue
+            if len(nz) == 1:
+                k = nz[0]
+                # b0 + v*th_k >= 0
+                if vr[k] > 0:
+                    th_lb[k] = max(th_lb[k], -b0[r] / vr[k])
+                else:
+                    th_ub[k] = min(th_ub[k], -b0[r] / vr[k])
+            continue
+        if is_zero_row:
+            # A x + b == 0  ->  A x = -b(th)
+            E_rows.append(A[r])
+            e0_l.append(-b0[r])
+            Em_l.append(-Bb[r])
+        else:
+            # nonneg row: A x + b >= 0  ->  -A x <= b(th)
+            G_rows.append(-A[r])
+            w0_l.append(b0[r])
+            Wm_l.append(Bb[r])
+            orig_l.append(r)
+            sign_l.append(-1)
+
+    th_mask = np.zeros(fam.p, dtype=bool)
+    for M in (Fq, np.array(Wm_l) if Wm_l else np.zeros((0, fam.p)),
+              np.array(Em_l) if Em_l else np.zeros((0, fam.p))):
+        if M.size:
+            th_mask |= np.abs(M).max(axis=0) > 1e-14
+    # bounds found on entries also activate them
+    th_mask |= np.isfinite(th_lb) | np.isfinite(th_ub)
+    sel = np.nonzero(th_mask)[0]
+
+    def red(M):
+        return M[:, sel] if M.shape[0] else np.zeros((0, len(sel)))
+
+    mp = MpQP(
+        H=P, f0=q0, F=Fq[:, sel],
+        G=np.array(G_rows) if G_rows else np.zeros((0, n)),
+        w0=np.array(w0_l), Wm=red(np.array(Wm_l) if Wm_l else np.zeros((0, fam.p))),
+        E=np.array(E_rows) if E_rows else np.zeros((0, n)),
+        e0=np.array(e0_l), Em=red(np.array(Em_l) if Em_l else np.zeros((0, fam.p))),
+        th_lb=th_lb[sel], th_ub=th_ub[sel], th_mask=th_mask,
+        row_origin=np.array(orig_l, dtype=int),
+        row_sign=np.array(sign_l, dtype=int))
+    # default box where unbounded: +-1 around reference theta (pdaqp needs a
+    # bounded domain; reference reads bounds from constraints l<=p<=u)
+    unb = ~np.isfinite(mp.th_lb)
+    ref = (theta_ref[sel] if theta_ref is not None else np.zeros(len(sel)))
+    mp.th_lb[unb] = ref[unb] - 1.0
+    unb = ~np.isfinite(mp.th_ub)
+    mp.th_ub[unb] = ref[unb] + 1.0
+    return mp
+
+
+# ---------------------------------------------------------------------------
+# offline enumeration
+# ---------------------------------------------------------------------------
+
+def _region_for_active(mp: MpQP, S: tuple) -> Optional[Region]:
+    n = mp.H.shape[0]
+    GS = np.vstack([mp.E, mp.G[list(S)]]) if len(S) else mp.E
+    wS0 = np.concatenate([mp.e0, mp.w0[list(S)]]) if len(S) else mp.e0
+    WSm = np.vstack([mp.Em, mp.Wm[list(S)]]) if len(S) else mp.Em
+    me = mp.E.shape[0]
+    na = GS.shape[0]
+    if na > n:
+        return None
+    Hi = np.linalg.inv(mp.H)
+    if na:
+        M = GS @ Hi @ GS.T
+        # LICQ check
+        if np.linalg.cond(M) > 1e10:
+            return None
+        Mi = np.linalg.inv(M)
+        # lambda(th) = -Mi (GS Hi f(th) + wS(th))
+        Lc_all = -Mi @ (GS @ Hi @ mp.f0 + wS0)
+        Lt_all = -Mi @ (GS @ Hi @ mp.F + WSm)
+        Xc = -Hi @ (mp.f0 + GS.T @ Lc_all)
+        Xt = -Hi @ (mp.F + GS.T @ Lt_all)
+    else:
+        Lc_all = np.zeros(0)
+        Lt_all = np.zeros((0, mp.F.shape[1]))
+        Xc = -Hi @ mp.f0
+        Xt = -Hi @ mp.F
+    Ec_dual, Et_dual = Lc_all[:me], Lt_all[:me]
+    Lc, Lt = Lc_all[me:], Lt_all[me:]
+
+    # region tests: inactive primal slacks + active duals
+    inact = [i for i in range(mp.G.shape[0]) if i not in S]
+    Tc_rows, Tt_rows = [], []
+    if inact:
+        Gi = mp.G[inact]
+        Tc_rows.append(mp.w0[inact] - Gi @ Xc)
+        Tt_rows.append(mp.Wm[inact] - Gi @ Xt)
+    if len(S):
+        Tc_rows.append(Lc)
+        Tt_rows.append(Lt)
+    Tc = np.concatenate(Tc_rows) if Tc_rows else np.zeros(0)
+    Tt = np.vstack(Tt_rows) if Tt_rows else np.zeros((0, mp.F.shape[1]))
+    return Region(tuple(sorted(S)), Xc, Xt, Lc, Lt, Ec_dual, Et_dual, Tc, Tt)
+
+
+def _region_nonempty(reg: Region, mp: MpQP, tol=1e-9):
+    """max s s.t. Tc + Tt th >= s, lb <= th <= ub; nonempty iff s* > tol."""
+    p = len(mp.th_lb)
+    if reg.Tc.size == 0:
+        return True, 0.5 * (mp.th_lb + mp.th_ub)
+    c = np.zeros(p + 1)
+    c[-1] = -1.0
+    A_ub = np.hstack([-reg.Tt, np.ones((len(reg.Tc), 1))])
+    b_ub = reg.Tc
+    bounds = [(lo, hi) for lo, hi in zip(mp.th_lb, mp.th_ub)] + [(None, 1.0)]
+    res = sopt.linprog(c, A_ub=A_ub, b_ub=b_ub, bounds=bounds, method='highs')
+    if res.status != 0:
+        return False, None
+    return (-res.fun) > tol, (res.x[:p] if res.x is not None else None)
+
+
+def _active_set_at(mp: MpQP, th, tol=1e-7):
+    """Solve the QP at one theta (oracle) and read off the active set."""
+    from .oracle import ConeDims, solve_conic_qp
+    f = mp.f0 + mp.F @ th
+    w = mp.w0 + mp.Wm @ th
+    e = mp.e0 + mp.Em @ th
+    dims = ConeDims(mp.G.shape[0], [])
+    res = solve_conic_qp(mp.H, f, mp.E if mp.E.size else None,
+                         -e if mp.E.size else None,
+                         -mp.G, w, dims, tol=1e-10)
+    if res.status not in ('optimal', 'optimal_inaccurate'):
+        return None
+    slack = w - mp.G @ res.x
+    act = tuple(sorted(np.nonzero((slack < tol) | (res.z > 1e-6))[0].tolist()))
+    # keep LICQ: drop rows to at most n - me active
+    return act
+
+
+def enumerate_regions(mp: MpQP, max_regions=500, n_samples=300, seed=0,
+                      verbose=False) -> List[Region]:
+    regions = {}
+    queue = []
+    th0 = 0.5 * (mp.th_lb + mp.th_ub)
+    S0 = _active_set_at(mp, th0)
+    if S0 is not None:
+        queue.append(S0)
+    visited = set()
+    while queue and len(regions) < max_regions:
+        S = queue.pop()
+        if S in visited:
+            continue
+        visited.add(S)
+        reg = _region_for_active(mp, S)
+        if reg is None:
+            continue
+        ok, _ = _region_nonempty(reg, mp)
+        if not ok:
+            continue
+        regions[S] = reg
+        # neighbors: add each inactive row / remove each active row
+        inact = [i for i in range(mp.G.shape[0]) if i not in S]
+        n_free = mp.H.shape[0] - mp.E.shape[0]
+        for i in inact:
+            if len(S) < n_free:
+                cand = tuple(sorted(S + (i,)))
+                if cand not in visited:
+                    queue.append(cand)
+        for i in S:
+            cand = tuple(x for x in S if x != i)
+            if cand not in visited:
+                queue.append(cand)
+
+    # sampling repair: guarantee coverage of the sampled domain
+    rng = np.random.default_rng(seed)
+    for _ in range(n_samples):
+        if len(regions) >= max_regions:
+            break
+        th = mp.th_lb + (mp.th_ub - mp.th_lb) * rng.random(len(mp.th_lb))
+        if _best_region(regions.values(), th) is not None:
+            continue
+        S = _active_set_at(mp, th)
+        if S is None or S in regions:
+            continue
+        reg = _region_for_active(mp, S)
+        if reg is not None:
+            regions[S] = reg
+    if verbose:
+        print(f'explicit: {len(regions)} regions')
+    if not regions:
+        raise ExplicitError('explicit enumeration found no regions')
+    return list(regions.values())
+
+
+def _best_region(regions, th, tol=-1e-7):
+    best, best_m = None, tol
+    for reg in regions:
+        mslack = np.min(reg.Tc + reg.Tt @ th) if reg.Tc.size else 0.0
+        if mslack > best_m:
+            best, best_m = reg, mslack
+    return best
+
+
+# ---------------------------------------------------------------------------
+# device-side flat evaluator
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ExplicitData:
+    """Padded device arrays for the flat evaluator."""
+    FB: np.ndarray       # (R, n_store, p_r + 1) primal feedback [Xt | Xc]
+    TEST: np.ndarray     # (R, t_max, p_r + 1) region tests (padded with +1)
+    DUAL: Optional[np.ndarray]   # (R, m_dual, p_r + 1) or None
+    th_sel: np.ndarray   # indices into full theta
+    th_lb: np.ndarray
+    th_ub: np.ndarray
+    store_idx: np.ndarray  # which x entries are stored
+    n_regions: int
+
+
+def build_explicit_data(fam: Family, regions: List[Region], mp: MpQP,
+                        stored_idx=None, dual=False, fp16=False):
+    R = len(regions)
+    n = fam.n
+    store_idx = np.arange(n) if stored_idx is None else np.asarray(stored_idx)
+    p_r = len(mp.th_lb)
+    t_max = max((len(r.Tc) for r in regions), default=0)
+    FB = np.zeros((R, len(store_idx), p_r + 1))
+    TEST = np.full((R, max(t_max, 1), p_r + 1), 0.0)
+    TEST[:, :, -1] = 1.0  # padding rows always satisfied
+    m_dual = fam.m
+    DUAL = np.zeros((R, m_dual, p_r + 1)) if dual else None
+    for k, reg in enumerate(regions):
+        FB[k, :, :p_r] = reg.Xt[store_idx]
+        FB[k, :, p_r] = reg.Xc[store_idx]
+        if len(reg.Tc):
+            TEST[k, :len(reg.Tc), :p_r] = reg.Tt
+            TEST[k, :len(reg.Tc), p_r] = reg.Tc
+        if dual:
+            # canonical-dual feedback: y_canon rows; zero rows get -nu?
+            # Our convention: y_canon = [nu; z].  Equality duals:
+            # stationarity Hx + f + E'mu + G_S'lam = 0 with mu = Ec_dual;
+            # canonical zero-row dual y = -mu (see canonicalizer docstring
+            # sign calibration in tests).
+            me = mp.E.shape[0]
+            for j in range(me):
+                DUAL[k, j, :p_r] = -reg.Et_dual[j]
+                DUAL[k, j, p_r] = -reg.Ec_dual[j]
+            for idx_in_S, row in enumerate(reg.active):
+                r_canon = mp.row_origin[row]
+                DUAL[k, r_canon, :p_r] = reg.Lt[idx_in_S]
+                DUAL[k, r_canon, p_r] = reg.Lc[idx_in_S]
+    dt = np.float16 if fp16 else np.float32
+    return ExplicitData(FB=FB.astype(dt), TEST=TEST.astype(dt),
+                        DUAL=None if DUAL is None else DUAL.astype(dt),
+                        th_sel=np.nonzero(mp.th_mask)[0],
+                        th_lb=mp.th_lb, th_ub=mp.th_ub,
+                        store_idx=store_idx, n_regions=R)
+
+
+def explicit_evaluate(data: ExplicitData, theta, want_dual=False):
+    """Batched evaluation on device: theta (B, p) -> x_store (B, n_store).
+
+    TPU-first flat evaluator: one GEMM over all regions' test rows, min
+    slack per region, argmax region, feedback gather + matvec.  Replaces
+    the reference's generated binary-search-tree C code."""
+    import jax.numpy as jnp
+    th = jnp.asarray(theta)[:, data.th_sel]
+    # parity: explicit mode clips parameters to their bounds
+    # (reference utils.py:909-926)
+    th = jnp.clip(th, jnp.asarray(data.th_lb), jnp.asarray(data.th_ub))
+    B = th.shape[0]
+    tt = jnp.concatenate([th, jnp.ones((B, 1), th.dtype)], axis=1)
+    f32 = jnp.float32
+    TEST = jnp.asarray(data.TEST, f32)
+    slacks = jnp.einsum('rtp,bp->brt', TEST, tt.astype(f32))
+    mslack = jnp.min(slacks, axis=2)              # (B, R)
+    region = jnp.argmax(mslack, axis=1)           # (B,)
+    FB = jnp.asarray(data.FB, f32)
+    fb = FB[region]                               # (B, n_store, p+1)
+    x = jnp.einsum('bnp,bp->bn', fb, tt.astype(f32))
+    if want_dual and data.DUAL is not None:
+        DU = jnp.asarray(data.DUAL, f32)[region]
+        y = jnp.einsum('bmp,bp->bm', DU, tt.astype(f32))
+        return x, y, region
+    return x, None, region

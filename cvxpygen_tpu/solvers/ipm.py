@@ -179,7 +179,14 @@ def max_step_cone(v, dv, l, socs):
 def ipm_solve(P, q, E, f, G, h, l_nonneg: int, socs: Tuple[int, ...],
               settings: IPMSettings = IPMSettings()):
     """Solve a batch of conic QPs.  Returns dict(x, nu, z, s, obj, iters,
-    gap, res_primal, res_dual, solved)."""
+    gap, res_primal, res_dual, solved).  Full-f32 matmul precision on TPU
+    (see admm_solve note)."""
+    with jax.default_matmul_precision('highest'):
+        return _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs, settings)
+
+
+def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
+                    settings: IPMSettings = IPMSettings()):
     st = settings
     B, n = q.shape
     mz = E.shape[1] if E.ndim == 3 else 0

@@ -1,0 +1,70 @@
+"""Per-solver settings registries (parity: reference settings plumbing).
+
+The reference declares, per solver, a registry of ``Setting(type, default,
+enabled, name_cvxpy)`` (reference cvxpygen/mappings.py:140-145; osqp.py:
+102-115; clarabel.py:63-119), warns on unknown settings
+(_interface.py:125-130) and translates CVXPY-style names
+(_interface.py:197-199).  Here each *engine* (ADMM / IPM / EXPLICIT) owns a
+registry, and the reference's solver names alias onto engines.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, Optional
+
+from .admm import ADMMSettings
+from .ipm import IPMSettings
+
+
+@dataclass
+class Setting:
+    """One tunable solver setting (reference mappings.py:140-145)."""
+    type: str
+    default: Any
+    enabled: bool = True
+    name_cvxpy: Optional[str] = None
+
+
+def _registry_from_dataclass(cls, cvxpy_names=None):
+    cvxpy_names = cvxpy_names or {}
+    out = {}
+    for f in fields(cls):
+        out[f.name] = Setting(type=getattr(f.type, '__name__', str(f.type)),
+                              default=f.default,
+                              name_cvxpy=cvxpy_names.get(f.name))
+    return out
+
+
+ADMM_SETTINGS: Dict[str, Setting] = _registry_from_dataclass(
+    ADMMSettings, cvxpy_names={'warm_starting': 'warm_start'})
+IPM_SETTINGS: Dict[str, Setting] = _registry_from_dataclass(IPMSettings)
+EXPLICIT_SETTINGS: Dict[str, Setting] = {
+    'max_regions': Setting('int', 500),
+    'fp16': Setting('bool', False),
+    'dual': Setting('bool', False),
+}
+
+# reference solver name -> (engine, registry).  The reference's per-solver
+# interfaces (cvxpygen/solvers/{osqp,scs,ecos,clarabel,qoco,pdaqp}.py) each
+# wrapped a native solver; here every canonical form maps onto one of the
+# two TPU engines (+ the explicit evaluator).
+SOLVER_REGISTRY = {
+    'ADMM': ('ADMM', ADMM_SETTINGS),
+    'OSQP': ('ADMM', ADMM_SETTINGS),
+    'IPM': ('IPM', IPM_SETTINGS),
+    'SCS': ('IPM', IPM_SETTINGS),
+    'ECOS': ('IPM', IPM_SETTINGS),
+    'CLARABEL': ('IPM', IPM_SETTINGS),
+    'QOCO': ('IPM', IPM_SETTINGS),
+    'QOCOGEN': ('IPM', IPM_SETTINGS),
+    'EXPLICIT': ('EXPLICIT', EXPLICIT_SETTINGS),
+    'PDAQP': ('EXPLICIT', EXPLICIT_SETTINGS),
+}
+
+
+def resolve_solver(name):
+    key = (name or 'ADMM').upper()
+    if key not in SOLVER_REGISTRY:
+        raise ValueError(
+            f'unsupported solver {name!r}; choose from {sorted(SOLVER_REGISTRY)}')
+    return SOLVER_REGISTRY[key]

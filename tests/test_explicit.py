@@ -1,0 +1,157 @@
+"""Explicit solver tests (pattern of reference tests/test_explicit.py:
+regression QP, power scheduling, stored_vars, dual explicit, fp16;
+oracle replaces the reference's OSQP comparison; rtol 1e-4 / 1e-3 parity)."""
+import numpy as np
+import pytest
+
+import cvxpygen_tpu as ct
+from cvxpygen_tpu import cpg
+from cvxpygen_tpu.canon.canonicalizer import canonicalize
+
+
+def _regression_problem(q=10, d=5, seed=1):
+    np.random.seed(seed)
+    A = np.random.randn(q, d)
+    x = ct.Variable(d, name='x')
+    b = ct.Parameter(q, name='b')
+    obj = ct.sum_squares(A @ x - b)
+    constr = [ct.diff(x) >= 0, ct.Constant(-np.ones(q)) <= b, b <= 1]
+    return ct.Problem(ct.Minimize(obj), constr), x, b
+
+
+def test_regression(tmp_path):
+    problem, x, b = _regression_problem()
+    code_dir = str(tmp_path / 'explicit_regression')
+    cpg.generate_code(problem, code_dir=code_dir, solver='explicit',
+                      prefix='ex_regression')
+    np.random.seed(2)
+    b.value = -1 + 2 * np.random.rand(10)
+
+    obj_ref = problem.solve()  # oracle
+    x_ref = x.value.copy()
+    problem.solve(method='CPG')
+    assert np.allclose(x.value, x_ref, atol=1e-5)
+    assert abs(problem.value - obj_ref) < 1e-6 * max(1, abs(obj_ref))
+
+
+def test_power(tmp_path):
+    """reference test_explicit.py:39-103 scalar power-scheduling QP."""
+    C, D, h, Q = 1, 1, 0.05, 1
+    qtar, alpha, beta = 0.5, 0.1, 0.1
+    g = ct.Variable(name='g')
+    s = ct.Variable(name='s')
+    b = ct.Variable(name='b')
+    qplus = ct.Variable(name='qplus')
+    L = ct.Parameter(name='L')
+    S = ct.Parameter(name='S')
+    P = ct.Parameter(name='P')
+    q = ct.Parameter(name='q')
+    obj = P * g * h + alpha * (qplus - qtar) ** 2 + beta * b ** 2
+    constr = [
+        L == s + b + g,
+        ct.Constant(0) <= s, s <= S, ct.Constant(-C) <= b, b <= D, g >= 0,
+        qplus == q - h * b, ct.Constant(0) <= qplus, qplus <= Q,
+        ct.Constant(0) <= L, L <= 1,
+        ct.Constant(0) <= S, S <= 0.5,
+        ct.Constant(1) <= P, P <= 2,
+        ct.Constant(0) <= q, q <= Q,
+    ]
+    problem = ct.Problem(ct.Minimize(obj), constr)
+    code_dir = str(tmp_path / 'explicit_power')
+    cpg.generate_code(problem, code_dir=code_dir, solver='explicit',
+                      prefix='ex_power')
+    np.random.seed(2)
+    L.value = np.random.rand()
+    S.value = 0.5 * np.random.rand()
+    P.value = 1 + np.random.rand()
+    q.value = Q * np.random.rand()
+
+    obj_ref = problem.solve()
+    refs = dict(g=g.value, s=s.value, b=b.value, qplus=qplus.value)
+    problem.solve(method='CPG')
+    rtol = 1e-3
+    for name, ref in refs.items():
+        got = {'g': g, 's': s, 'b': b, 'qplus': qplus}[name].value
+        assert np.allclose(got, ref, rtol=rtol, atol=1e-5), (name, got, ref)
+
+
+def test_stored_vars(tmp_path):
+    problem, x, b = _regression_problem(q=4, d=3)
+    code_dir = str(tmp_path / 'explicit_stored')
+    cpg.generate_code(problem, code_dir=code_dir, solver='explicit',
+                      prefix='ex_stored',
+                      solver_opts={'stored_vars': [x[[0, 2]]]})
+    np.random.seed(3)
+    b.value = -0.5 + np.random.rand(4)
+    obj_ref = problem.solve()
+    x_ref = x.value.copy()
+    problem.solve(method='CPG')
+    assert np.allclose(x.value[[0, 2]], x_ref[[0, 2]], atol=1e-5)
+    assert x.value[1] == 0.0  # not stored -> zero (reference behavior)
+
+
+def test_explicit_gradient(tmp_path):
+    """reference tests/test_diff.py:120-164: explicit gradient vs FD."""
+    np.random.seed(1)
+    q, d = 4, 3
+    A = np.random.randn(q, d)
+    x = ct.Variable(d, name='x')
+    b = ct.Parameter(q, name='b')
+    obj = ct.sum_squares(A @ x - b)
+    constr = [ct.Constant(-np.ones(q)) <= b, b <= 1]
+    problem = ct.Problem(ct.Minimize(obj), constr)
+    code_dir = str(tmp_path / 'explicit_grad')
+    mod = cpg.generate_code(problem, code_dir=code_dir, solver='explicit',
+                            gradient=True, prefix='ex_grad')
+    np.random.seed(2)
+    b.value = -0.5 + np.random.rand(q)
+    problem.solve(method='CPG')
+
+    for v in problem.variables():
+        v.gradient = np.ones(v.shape)
+    mod.cpg_gradient(problem)
+    db_cpg = np.asarray(b.gradient).copy()
+
+    eps = 1e-4
+    b0 = b.value.copy()
+    db_fd = np.zeros(q)
+    for i in range(q):
+        bp = b0.copy(); bp[i] += eps
+        b.value = bp
+        problem.solve(method='CPG')
+        fp = sum(float(np.sum(v.value)) for v in problem.variables())
+        bm = b0.copy(); bm[i] -= eps
+        b.value = bm
+        problem.solve(method='CPG')
+        fm = sum(float(np.sum(v.value)) for v in problem.variables())
+        db_fd[i] = (fp - fm) / (2 * eps)
+    assert np.allclose(db_cpg, db_fd, atol=1e-3)
+
+
+def test_dual_explicit(tmp_path):
+    """explicit=2: dual feedbacks stored (reference test_explicit.py:314)."""
+    problem, x, b = _regression_problem(q=4, d=3)
+    code_dir = str(tmp_path / 'explicit_dual')
+    cpg.generate_code(problem, code_dir=code_dir, solver='explicit',
+                      solver_opts={'dual': True}, prefix='ex_dual')
+    np.random.seed(4)
+    b.value = -0.5 + np.random.rand(4)
+    obj_ref = problem.solve()
+    dual_ref = np.asarray(problem.constraints[0].dual_value).copy()
+    problem.solve(method='CPG')
+    dual_cg = np.asarray(problem.constraints[0].dual_value)
+    np.testing.assert_allclose(dual_cg, dual_ref, atol=1e-4)
+
+
+def test_fp16_storage(tmp_path):
+    problem, x, b = _regression_problem(q=6, d=4)
+    code_dir = str(tmp_path / 'explicit_fp16')
+    cpg.generate_code(problem, code_dir=code_dir, solver='explicit',
+                      solver_opts={'fp16': True}, prefix='ex_fp16')
+    np.random.seed(5)
+    b.value = -0.8 + 1.6 * np.random.rand(6)
+    obj_ref = problem.solve()
+    x_ref = x.value.copy()
+    problem.solve(method='CPG')
+    # fp16 storage bar: rtol 1e-3 (reference test_explicit.py:205-208)
+    np.testing.assert_allclose(x.value, x_ref, rtol=2e-3, atol=2e-3)
