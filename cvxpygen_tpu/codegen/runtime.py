@@ -128,10 +128,29 @@ class CpgRuntime:
         return grads
 
     def _grad_theta(self, gx):
-        """Single-instance implicit differentiation (float64 NumPy), same
-        math as diff/qp_diff.py (reference grad template
-        cpg_osqp_grad_compute.c.jinja2:432-531)."""
+        """Single-instance implicit differentiation, same math as
+        autodiff/qp_diff.py (reference grad template
+        cpg_osqp_grad_compute.c.jinja2:432-531); conic families route
+        through the projection-Jacobian diff (autodiff/conic_diff.py)."""
         fam = self.family
+        if fam.soc_dims:
+            import jax
+            import jax.numpy as jnp
+            from ..autodiff.conic_diff import make_conic_diff_solve
+            from ..solvers.ipm import IPMSettings
+            if not hasattr(self, '_conic_diff'):
+                self._conic_diff = make_conic_diff_solve(
+                    self.solver.jf, IPMSettings(max_iter=100,
+                                                tol_feas=1e-10,
+                                                tol_gap=1e-10))
+            theta = jnp.asarray(self._ctx['theta'])[None, :]
+            _, vjp = jax.vjp(self._conic_diff, theta)
+            gxa = jnp.asarray(gx)[None, :]
+            seed = dict(x=gxa,
+                        y=jnp.zeros((1, fam.m)),
+                        obj=jnp.zeros((1,)))
+            (dtheta,) = vjp(seed)
+            return np.asarray(dtheta[0])
         theta = self._ctx['theta']
         P, q, d, A, b = fam.canon_numpy(theta)
         l, u = fam.qp_bounds(b)

@@ -46,10 +46,10 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
         raise ValueError(f'unsupported solver {solver!r}')
 
     fam = canonicalize(problem)
-    if gradient and fam.soc_dims:
-        raise NotImplementedError(
-            'gradient=True currently requires a QP-form problem '
-            '(two-stage conic gradient is a later milestone)')
+    # gradient=True works for both QP-form (implicit KKT diff) and conic
+    # families (projection-Jacobian diff, autodiff/conic_diff.py -- the
+    # reference needs its two-stage OSQP-form construction for this,
+    # canonicalizer.py:54-65)
 
     os.makedirs(code_dir, exist_ok=True)
     with open(os.path.join(code_dir, 'family.pkl'), 'wb') as f:

@@ -1,0 +1,144 @@
+"""Native host runtime: ctypes bindings over cpg_core.cpp.
+
+The reference generates embeddable C + a pybind11 module and compiles them
+with CMake/setup.py (reference compiler.py:24-31, templates/
+CMakeLists.txt.jinja2).  Here the native core is one dependency-free C++
+file compiled on demand into a shared library (cached per build), bound via
+ctypes (pybind11 is not in this image): host-side float64 solving without
+JAX, and the embeddable-artifact story for serving front-ends.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'cpg_core.cpp')
+_LIB = None
+
+
+def _build_lib():
+    with open(_SRC, 'rb') as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    out = os.path.join(_HERE, f'libcpg_core_{tag}.so')
+    if not os.path.exists(out):
+        cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+               '-std=c++17', _SRC, '-o', out + '.tmp']
+        subprocess.run(cmd, check=True)
+        os.replace(out + '.tmp', out)
+    return out
+
+
+def get_lib():
+    global _LIB
+    if _LIB is None:
+        path = _build_lib()
+        lib = ctypes.CDLL(path)
+        c_dbl_p = ctypes.POINTER(ctypes.c_double)
+        c_i64_p = ctypes.POINTER(ctypes.c_int64)
+        lib.cpg_native_init.restype = ctypes.c_void_p
+        lib.cpg_native_init.argtypes = [ctypes.c_int64] * 4
+        lib.cpg_native_set_map.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            c_i64_p, c_i64_p, c_dbl_p]
+        lib.cpg_native_set_dquad.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_set_theta.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_update_theta.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_double]
+        lib.cpg_native_set_setting.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_double]
+        lib.cpg_native_solve.argtypes = [ctypes.c_void_p]
+        lib.cpg_native_obj.restype = ctypes.c_double
+        lib.cpg_native_obj.argtypes = [ctypes.c_void_p]
+        for fn in ('cpg_native_status', 'cpg_native_iters'):
+            getattr(lib, fn).restype = ctypes.c_int32
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        for fn in ('cpg_native_pri_res', 'cpg_native_dua_res'):
+            getattr(lib, fn).restype = ctypes.c_double
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.cpg_native_get_x.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_get_y.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+def _as_i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+class NativeQPSolver:
+    """Host-side float64 solver for a compiled family (QP form only)."""
+
+    MAP_IDS = {'P': 0, 'q': 1, 'd': 2, 'A': 3, 'b': 4}
+    SETTING_IDS = {'rho': 0, 'sigma': 1, 'alpha': 2, 'eps_abs': 3,
+                   'eps_rel': 4, 'max_iter': 5, 'warm_start': 6,
+                   'rho_eq_scale': 7}
+
+    def __init__(self, family):
+        if family.soc_dims:
+            raise ValueError('native solver: QP-form families only')
+        self.family = family
+        self.lib = get_lib()
+        self.h = self.lib.cpg_native_init(family.n, family.m, family.p,
+                                          family.n_zero)
+        import scipy.sparse as spa
+        from ..runtime.jax_family import _expand_rows
+        n, m = family.n, family.m
+        Pfull = spa.csr_matrix(_expand_rows(family.P_map, family.P_idx,
+                                            n * n, n))
+        Afull = spa.csr_matrix(_expand_rows(family.A_map, family.A_idx,
+                                            m * n, n))
+        for name, M in (('P', Pfull), ('q', family.q_map), ('d', family.d_map),
+                        ('A', Afull), ('b', family.b_map)):
+            M = M.tocsr()
+            indptr = _as_i64(M.indptr)
+            indices = _as_i64(M.indices)
+            data = np.ascontiguousarray(M.data, dtype=np.float64)
+            self.lib.cpg_native_set_map(
+                self.h, self.MAP_IDS[name], M.shape[0],
+                indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if family.d_quad is not None:
+            dq = np.ascontiguousarray(family.d_quad.toarray(),
+                                      dtype=np.float64)
+            self.lib.cpg_native_set_dquad(
+                self.h, dq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+
+    def set_settings(self, **kwargs):
+        for k, v in kwargs.items():
+            if k in self.SETTING_IDS:
+                self.lib.cpg_native_set_setting(
+                    self.h, self.SETTING_IDS[k], float(v))
+
+    def solve(self, theta):
+        theta = np.ascontiguousarray(theta, dtype=np.float64)
+        self.lib.cpg_native_set_theta(
+            self.h, theta.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        self.lib.cpg_native_solve(self.h)
+        n, m = self.family.n, self.family.m
+        x = np.zeros(n)
+        y = np.zeros(m)
+        self.lib.cpg_native_get_x(
+            self.h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        self.lib.cpg_native_get_y(
+            self.h, y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return dict(
+            x=x, y=y, y_canon=-y,
+            obj=self.lib.cpg_native_obj(self.h),
+            iters=self.lib.cpg_native_iters(self.h),
+            solved=self.lib.cpg_native_status(self.h) == 1,
+            pri_res=self.lib.cpg_native_pri_res(self.h),
+            dua_res=self.lib.cpg_native_dua_res(self.h))
+
+    def __del__(self):
+        try:
+            self.lib.cpg_native_free(self.h)
+        except Exception:
+            pass

@@ -1,0 +1,375 @@
+// Native host runtime: parametric canonicalization + dense ADMM QP solver.
+//
+// Role parity with the reference's generated embedded C (cpg_workspace.c /
+// cpg_solve.c + vendored OSQP, see /root/reference SURVEY.md L7): a
+// dependency-free C++ core exposing a C API so a compiled problem family can
+// be embedded in host applications (serving front-ends, embedded control)
+// without Python or a TPU.  The TPU path (JAX) remains the scale path; this
+// is the reference-float64 single-instance path.
+//
+// Algorithm: OSQP-style ADMM (Ruiz equilibration, per-row rho with
+// equality scaling, dense LDL^T-free normal equations M = P + sigma I +
+// A' diag(rho) A factored by dense Cholesky, residual-based termination)
+// -- mirrors cvxpygen_tpu/solvers/admm.py.
+//
+// Canonicalization: theta-affine maps stored CSR; canonical tensors are
+// dense row-major.  API: cpg_native_init / set_theta / update_theta /
+// solve / getters / free.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct CsrMap {
+  // rows = flattened tensor entries; cols = p+1 (theta_t)
+  std::vector<int64_t> indptr;
+  std::vector<int64_t> indices;
+  std::vector<double> data;
+  int64_t n_rows = 0;
+
+  void apply(const double* theta_t, double* out) const {
+    for (int64_t r = 0; r < n_rows; ++r) {
+      double acc = 0.0;
+      for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
+        acc += data[k] * theta_t[indices[k]];
+      }
+      out[r] = acc;
+    }
+  }
+};
+
+struct Workspace {
+  int64_t n = 0, m = 0, p = 0, n_eq = 0;
+  CsrMap mapP, mapq, mapd, mapA, mapb;
+  std::vector<double> theta_t;  // p + 1, last = 1
+  // canonical data (dense, row-major)
+  std::vector<double> P, q, A, b, l, u;
+  double d_off = 0.0;
+  std::vector<double> d_quad;  // (p+1)^2 or empty
+  // solution
+  std::vector<double> x, z, y;
+  double obj = 0.0;
+  int32_t iters = 0;
+  int32_t status = 0;  // 1 = solved
+  double pri_res = 0.0, dua_res = 0.0;
+  // settings
+  double rho = 0.1, rho_eq_scale = 1e3, sigma = 1e-6, alpha = 1.6;
+  double eps_abs = 1e-3, eps_rel = 1e-3;
+  int32_t max_iter = 4000, check_interval = 25, scaling = 10;
+  bool warm_start = false;
+};
+
+const double kInf = 1e30;
+
+void load_csr(CsrMap* mp, int64_t n_rows, const int64_t* indptr,
+              const int64_t* indices, const double* data) {
+  mp->n_rows = n_rows;
+  mp->indptr.assign(indptr, indptr + n_rows + 1);
+  int64_t nnz = indptr[n_rows];
+  mp->indices.assign(indices, indices + nnz);
+  mp->data.assign(data, data + nnz);
+}
+
+// dense Cholesky (lower), in place on SPD M (n x n row-major)
+bool cholesky(std::vector<double>& M, int64_t n) {
+  for (int64_t j = 0; j < n; ++j) {
+    double diag = M[j * n + j];
+    for (int64_t k = 0; k < j; ++k) diag -= M[j * n + k] * M[j * n + k];
+    if (diag <= 0.0) return false;
+    diag = std::sqrt(diag);
+    M[j * n + j] = diag;
+    for (int64_t i = j + 1; i < n; ++i) {
+      double v = M[i * n + j];
+      for (int64_t k = 0; k < j; ++k) v -= M[i * n + k] * M[j * n + k];
+      M[i * n + j] = v / diag;
+    }
+  }
+  return true;
+}
+
+void chol_solve(const std::vector<double>& L, int64_t n, double* x) {
+  for (int64_t i = 0; i < n; ++i) {          // L v = x
+    double v = x[i];
+    for (int64_t k = 0; k < i; ++k) v -= L[i * n + k] * x[k];
+    x[i] = v / L[i * n + i];
+  }
+  for (int64_t i = n - 1; i >= 0; --i) {     // L' x = v
+    double v = x[i];
+    for (int64_t k = i + 1; k < n; ++k) v -= L[k * n + i] * x[k];
+    x[i] = v / L[i * n + i];
+  }
+}
+
+double inf_norm(const double* v, int64_t n) {
+  double out = 0.0;
+  for (int64_t i = 0; i < n; ++i) out = std::max(out, std::fabs(v[i]));
+  return out;
+}
+
+void canonicalize(Workspace* w) {
+  const double* tt = w->theta_t.data();
+  w->mapP.apply(tt, w->P.data());
+  w->mapq.apply(tt, w->q.data());
+  double dd = 0.0;
+  w->mapd.apply(tt, &dd);
+  if (!w->d_quad.empty()) {
+    int64_t p1 = w->p + 1;
+    for (int64_t i = 0; i < p1; ++i) {
+      double row = 0.0;
+      for (int64_t j = 0; j < p1; ++j) row += w->d_quad[i * p1 + j] * tt[j];
+      dd += tt[i] * row;
+    }
+  }
+  w->d_off = dd;
+  w->mapA.apply(tt, w->A.data());
+  w->mapb.apply(tt, w->b.data());
+  for (int64_t r = 0; r < w->m; ++r) {
+    w->l[r] = -w->b[r];
+    w->u[r] = (r < w->n_eq) ? -w->b[r] : kInf;
+  }
+}
+
+void solve(Workspace* w) {
+  const int64_t n = w->n, m = w->m;
+  // ---- Ruiz equilibration (OSQP alg. 2) ----
+  std::vector<double> Ps(w->P), qs(w->q), As(w->A), ls(w->l), us(w->u);
+  std::vector<double> D(n, 1.0), E(m, 1.0);
+  double c = 1.0;
+  for (int32_t it = 0; it < w->scaling; ++it) {
+    for (int64_t j = 0; j < n; ++j) {
+      double nx = 0.0;
+      for (int64_t i = 0; i < n; ++i) nx = std::max(nx, std::fabs(Ps[i * n + j]));
+      for (int64_t k = 0; k < m; ++k) nx = std::max(nx, std::fabs(As[k * n + j]));
+      double dx = nx > 1e-12 ? 1.0 / std::sqrt(nx) : 1.0;
+      dx = std::min(std::max(dx, 1e-4), 1e4);
+      for (int64_t i = 0; i < n; ++i) { Ps[i * n + j] *= dx; Ps[j * n + i] *= dx; }
+      for (int64_t k = 0; k < m; ++k) As[k * n + j] *= dx;
+      qs[j] *= dx;
+      D[j] *= dx;
+    }
+    for (int64_t k = 0; k < m; ++k) {
+      double nc = 0.0;
+      for (int64_t j = 0; j < n; ++j) nc = std::max(nc, std::fabs(As[k * n + j]));
+      double dc = nc > 1e-12 ? 1.0 / std::sqrt(nc) : 1.0;
+      dc = std::min(std::max(dc, 1e-4), 1e4);
+      for (int64_t j = 0; j < n; ++j) As[k * n + j] *= dc;
+      E[k] *= dc;
+    }
+    double col = 0.0;
+    for (int64_t j = 0; j < n; ++j) {
+      double cn = 0.0;
+      for (int64_t i = 0; i < n; ++i) cn = std::max(cn, std::fabs(Ps[i * n + j]));
+      col += cn;
+    }
+    col /= std::max<int64_t>(n, 1);
+    if (col < 1e-12) col = 1.0;
+    double qn = inf_norm(qs.data(), n);
+    if (qn < 1e-12) qn = 1.0;
+    double g = 1.0 / std::max(col, qn);
+    g = std::min(std::max(g, 1e-4), 1e4);
+    for (auto& v : Ps) v *= g;
+    for (auto& v : qs) v *= g;
+    c *= g;
+  }
+  for (int64_t k = 0; k < m; ++k) {
+    ls[k] = std::max(-kInf, E[k] * w->l[k]);
+    us[k] = std::min(kInf, E[k] * w->u[k]);
+  }
+
+  std::vector<double> rho(m);
+  for (int64_t k = 0; k < m; ++k)
+    rho[k] = (k < w->n_eq) ? w->rho * w->rho_eq_scale : w->rho;
+
+  // ---- factor M = P + sigma I + A' diag(rho) A ----
+  std::vector<double> M(n * n, 0.0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < n; ++j) M[i * n + j] = Ps[i * n + j];
+  for (int64_t i = 0; i < n; ++i) M[i * n + i] += w->sigma;
+  for (int64_t k = 0; k < m; ++k)
+    for (int64_t i = 0; i < n; ++i) {
+      double aki = As[k * n + i] * rho[k];
+      if (aki == 0.0) continue;
+      for (int64_t j = 0; j < n; ++j) M[i * n + j] += aki * As[k * n + j];
+    }
+  if (!cholesky(M, n)) { w->status = -1; return; }
+
+  // ---- iterate ----
+  std::vector<double> x(n, 0.0), z(m, 0.0), y(m, 0.0);
+  if (w->warm_start && (int64_t)w->x.size() == n) {
+    for (int64_t i = 0; i < n; ++i) x[i] = w->x[i] / D[i];
+    for (int64_t k = 0; k < m; ++k) {
+      double acc = 0.0;
+      for (int64_t j = 0; j < n; ++j) acc += As[k * n + j] * x[j];
+      z[k] = acc;
+      y[k] = c * w->y[k] / E[k];
+    }
+  }
+  std::vector<double> rhs(n), xt(n), zt(m), wv(m);
+  int32_t it = 0;
+  bool solved = false;
+  for (it = 0; it < w->max_iter; ++it) {
+    for (int64_t j = 0; j < n; ++j) rhs[j] = w->sigma * x[j] - qs[j];
+    for (int64_t k = 0; k < m; ++k) {
+      double s = rho[k] * z[k] - y[k];
+      if (s == 0.0) continue;
+      for (int64_t j = 0; j < n; ++j) rhs[j] += As[k * n + j] * s;
+    }
+    std::memcpy(xt.data(), rhs.data(), n * sizeof(double));
+    chol_solve(M, n, xt.data());
+    for (int64_t k = 0; k < m; ++k) {
+      double acc = 0.0;
+      for (int64_t j = 0; j < n; ++j) acc += As[k * n + j] * xt[j];
+      zt[k] = acc;
+    }
+    for (int64_t j = 0; j < n; ++j)
+      x[j] = w->alpha * xt[j] + (1.0 - w->alpha) * x[j];
+    for (int64_t k = 0; k < m; ++k) {
+      double wk = w->alpha * zt[k] + (1.0 - w->alpha) * z[k] + y[k] / rho[k];
+      double zk = std::min(std::max(wk, ls[k]), us[k]);
+      y[k] = rho[k] * (wk - zk);
+      z[k] = zk;
+    }
+    if ((it + 1) % w->check_interval == 0) {
+      double rp = 0.0, rp_den = 0.0, rd = 0.0, rd_den = 0.0;
+      for (int64_t k = 0; k < m; ++k) {
+        double ax = 0.0;
+        for (int64_t j = 0; j < n; ++j) ax += As[k * n + j] * x[j];
+        rp = std::max(rp, std::fabs((ax - z[k]) / E[k]));
+        rp_den = std::max(rp_den, std::max(std::fabs(ax / E[k]),
+                                           std::fabs(z[k] / E[k])));
+      }
+      for (int64_t j = 0; j < n; ++j) {
+        double px = 0.0, aty = 0.0;
+        for (int64_t i = 0; i < n; ++i) px += Ps[j * n + i] * x[i];
+        for (int64_t k = 0; k < m; ++k) aty += As[k * n + j] * y[k];
+        rd = std::max(rd, std::fabs((px + qs[j] + aty) / D[j]) / c);
+        rd_den = std::max(rd_den,
+                          std::max({std::fabs(px / D[j]), std::fabs(aty / D[j]),
+                                    std::fabs(qs[j] / D[j])}) / c);
+      }
+      w->pri_res = rp;
+      w->dua_res = rd;
+      if (rp <= w->eps_abs + w->eps_rel * rp_den &&
+          rd <= w->eps_abs + w->eps_rel * rd_den) {
+        solved = true;
+        ++it;
+        break;
+      }
+    }
+  }
+  // unscale + objective
+  w->x.assign(n, 0.0);
+  w->z.assign(m, 0.0);
+  w->y.assign(m, 0.0);
+  double obj_s = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    double px = 0.0;
+    for (int64_t j = 0; j < n; ++j) px += Ps[i * n + j] * x[j];
+    obj_s += 0.5 * x[i] * px + qs[i] * x[i];
+  }
+  w->obj = obj_s / c;
+  for (int64_t i = 0; i < n; ++i) w->x[i] = D[i] * x[i];
+  for (int64_t k = 0; k < m; ++k) {
+    w->z[k] = z[k] / E[k];
+    w->y[k] = E[k] * y[k] / c;
+  }
+  w->iters = it;
+  w->status = solved ? 1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cpg_native_init(int64_t n, int64_t m, int64_t p, int64_t n_eq) {
+  auto* w = new Workspace();
+  w->n = n; w->m = m; w->p = p; w->n_eq = n_eq;
+  w->theta_t.assign(p + 1, 0.0);
+  w->theta_t[p] = 1.0;
+  w->P.assign(n * n, 0.0);
+  w->q.assign(n, 0.0);
+  w->A.assign(m * n, 0.0);
+  w->b.assign(m, 0.0);
+  w->l.assign(m, 0.0);
+  w->u.assign(m, 0.0);
+  return w;
+}
+
+void cpg_native_set_map(void* h, int32_t which, int64_t n_rows,
+                        const int64_t* indptr, const int64_t* indices,
+                        const double* data) {
+  auto* w = static_cast<Workspace*>(h);
+  CsrMap* mp = nullptr;
+  switch (which) {
+    case 0: mp = &w->mapP; break;
+    case 1: mp = &w->mapq; break;
+    case 2: mp = &w->mapd; break;
+    case 3: mp = &w->mapA; break;
+    case 4: mp = &w->mapb; break;
+  }
+  if (mp) load_csr(mp, n_rows, indptr, indices, data);
+}
+
+void cpg_native_set_dquad(void* h, const double* dq) {
+  auto* w = static_cast<Workspace*>(h);
+  int64_t p1 = w->p + 1;
+  w->d_quad.assign(dq, dq + p1 * p1);
+}
+
+void cpg_native_set_theta(void* h, const double* theta) {
+  auto* w = static_cast<Workspace*>(h);
+  std::memcpy(w->theta_t.data(), theta, w->p * sizeof(double));
+}
+
+void cpg_native_update_theta(void* h, int64_t idx, double val) {
+  static_cast<Workspace*>(h)->theta_t[idx] = val;
+}
+
+void cpg_native_set_setting(void* h, int32_t which, double val) {
+  auto* w = static_cast<Workspace*>(h);
+  switch (which) {
+    case 0: w->rho = val; break;
+    case 1: w->sigma = val; break;
+    case 2: w->alpha = val; break;
+    case 3: w->eps_abs = val; break;
+    case 4: w->eps_rel = val; break;
+    case 5: w->max_iter = (int32_t)val; break;
+    case 6: w->warm_start = val != 0.0; break;
+    case 7: w->rho_eq_scale = val; break;
+  }
+}
+
+void cpg_native_solve(void* h) {
+  auto* w = static_cast<Workspace*>(h);
+  canonicalize(w);
+  solve(w);
+}
+
+double cpg_native_obj(void* h) {
+  auto* w = static_cast<Workspace*>(h);
+  return w->obj + w->d_off;
+}
+
+int32_t cpg_native_status(void* h) { return static_cast<Workspace*>(h)->status; }
+int32_t cpg_native_iters(void* h) { return static_cast<Workspace*>(h)->iters; }
+double cpg_native_pri_res(void* h) { return static_cast<Workspace*>(h)->pri_res; }
+double cpg_native_dua_res(void* h) { return static_cast<Workspace*>(h)->dua_res; }
+
+void cpg_native_get_x(void* h, double* out) {
+  auto* w = static_cast<Workspace*>(h);
+  std::memcpy(out, w->x.data(), w->n * sizeof(double));
+}
+
+void cpg_native_get_y(void* h, double* out) {
+  auto* w = static_cast<Workspace*>(h);
+  std::memcpy(out, w->y.data(), w->m * sizeof(double));
+}
+
+void cpg_native_free(void* h) { delete static_cast<Workspace*>(h); }
+
+}  // extern "C"

@@ -54,12 +54,21 @@ def test_soc_family_via_qp_solver_rejected(tmp_path):
         cpg.generate_code(prob, code_dir=str(tmp_path / 'p'), solver='OSQP')
 
 
-def test_gradient_on_conic_rejected(tmp_path):
+def test_gradient_on_conic_supported(tmp_path):
+    """conic gradient=True is supported directly (the reference needs the
+    two-stage OSQP-form construction for this)."""
     u = ct.Variable(3, name='u')
     f = ct.Parameter(3, name='f')
     f.value = np.ones(3)
     prob = ct.Problem(ct.Minimize(ct.sum_squares(u - f)),
                       [ct.norm(u, 2) <= 1])
-    with pytest.raises(NotImplementedError):
-        cpg.generate_code(prob, code_dir=str(tmp_path / 'p'),
-                          solver='ECOS', gradient=True)
+    mod = cpg.generate_code(prob, code_dir=str(tmp_path / 'p'),
+                            solver='ECOS', gradient=True)
+    prob.solve(method='CPG')
+    u.gradient = np.ones(3)
+    grads = mod.cpg_gradient(prob)
+    # ||f|| > 1 so the ball constraint is active: u* = f/||f||; the
+    # gradient of sum(u*) w.r.t. f is the projection Jacobian
+    fn = np.linalg.norm(f.value)
+    J = (np.eye(3) - np.outer(f.value, f.value) / fn ** 2) / fn
+    np.testing.assert_allclose(grads['f'], J.T @ np.ones(3), atol=1e-6)

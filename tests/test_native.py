@@ -1,0 +1,57 @@
+"""Native C++ host runtime vs oracle (embedded-artifact parity; reference
+generated C correctness pattern, tests/test_E2E_QP.py)."""
+import numpy as np
+import pytest
+
+from cvxpygen_tpu.canon.canonicalizer import canonicalize
+from cvxpygen_tpu.solvers.oracle import solve_family_numpy
+from problems import ALL
+
+
+@pytest.mark.parametrize('name', ['nonneg_LS', 'actuator', 'MPC', 'network'])
+def test_native_vs_oracle(name):
+    from cvxpygen_tpu.native import NativeQPSolver
+    make, assign = ALL[name]
+    prob = make()
+    assign(prob, seed=0)
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+
+    res, y = solve_family_numpy(fam, theta)
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    if fam.d_quad is not None:
+        d += float(tt @ (fam.d_quad @ tt))
+    obj_ref = res.obj + d
+
+    ns = NativeQPSolver(fam)
+    out = ns.solve(theta)
+    assert out['solved'], out
+    assert abs(out['obj'] - obj_ref) < 2e-2 * max(1.0, abs(obj_ref))
+    prim_ref = np.concatenate([res.x[vi.offset:vi.offset + vi.size]
+                               for vi in fam.user_vars])
+    prim_cg = np.concatenate([out['x'][vi.offset:vi.offset + vi.size]
+                              for vi in fam.user_vars])
+    pn = np.linalg.norm(prim_ref)
+    if pn > 1e-6:
+        assert np.linalg.norm(prim_cg - prim_ref) / pn < 0.1
+
+
+def test_native_warm_start_and_update():
+    from cvxpygen_tpu.native import NativeQPSolver
+    make, assign = ALL['MPC']
+    prob = make()
+    assign(prob, seed=0)
+    fam = canonicalize(prob)
+    ns = NativeQPSolver(fam)
+    theta = fam.pack_theta(params=prob.parameters())
+    out1 = ns.solve(theta)
+    ns.set_settings(warm_start=1)
+    out2 = ns.solve(theta)
+    assert out2['iters'] <= out1['iters']
+    # parameter update: x_init entry bump changes solution
+    xi = [pi for pi in fam.param_info if pi.name == 'x_init'][0]
+    theta2 = theta.copy()
+    theta2[xi.offset] += 0.5
+    out3 = ns.solve(theta2)
+    assert not np.allclose(out3['x'], out2['x'])
