@@ -41,9 +41,11 @@ def main():
     dtype = jnp.float32 if jax.default_backend() != 'cpu' else None
     jf = JaxFamily.from_family(fam, dtype=dtype)
     # reference-parity settings (tests/utils_test.py:25-28): eps 1e-3,
-    # max_iter 4000, no adaptive rho
+    # max_iter 4000, no adaptive rho.  BENCH_PALLAS=1 enables the fused
+    # Pallas iteration kernel (ops/admm_kernel.py).
+    use_pallas = 'auto' if os.environ.get('BENCH_PALLAS') == '1' else 'never'
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
-                      check_interval=25)
+                      check_interval=25, use_pallas=use_pallas)
 
     @jax.jit
     def step(jf, theta):
@@ -57,10 +59,11 @@ def main():
     theta = jnp.asarray(np.tile(T16, (B // 16 + 1, 1))[:B],
                         dtype=dtype or jnp.float64)
 
-    # compile + warmup
+    # compile + warmup; materialize a scalar -- on the axon relay,
+    # block_until_ready alone does NOT guarantee compile/exec completed
     t0 = time.perf_counter()
     x, obj, solved, iters = step(jf, theta)
-    x.block_until_ready()
+    _ = float(np.asarray(obj).sum())
     print(f'# compile+first run: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr, flush=True)
 

@@ -49,6 +49,10 @@ class ADMMSettings:
     kkt_solver: str = 'auto'
     kkt_refine: int = 1
     ns_iters: int = 30
+    # fused Pallas iteration blocks (ops/admm_kernel.py): keeps M^{-1}/A
+    # VMEM-resident across check_interval iterations.  'auto' enables on
+    # TPU when a block fits VMEM; 'always'/'never' force.
+    use_pallas: str = 'auto'
 
 
 def _inf_norm(v, axis=-1):
@@ -111,6 +115,17 @@ def newton_schulz_inverse(M, iters):
         return jnp.einsum('bij,bjk->bik', X, I2 - MX)
 
     return jax.lax.fori_loop(0, iters, body, X)
+
+
+def _pick_block(B, m, n, dtype):
+    """Largest batch block fitting VMEM: inputs are double-buffered and the
+    kernel's broadcast temporaries add ~2 more (BLK,m,n) tiles, so budget
+    the raw input tile at ~2.5MB (16MB scoped VMEM total)."""
+    bytes_per = (n * n + m * n) * (4 if dtype == jnp.float32 else 8)
+    for blk in (16, 8, 4, 2, 1):
+        if B % blk == 0 and blk * bytes_per <= int(2.5 * 1024 * 1024):
+            return blk
+    return None
 
 
 def admm_solve(P, q, A, l, u, n_eq, settings: ADMMSettings,
@@ -231,11 +246,33 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         _, _, _, it, done, _, _, _ = state
         return (~jnp.all(done)) & (it < st.max_iter)
 
+    # fused-kernel eligibility: needs the explicit inverse and VMEM room
+    use_pallas = st.use_pallas
+    # note: the fused kernel applies M^{-1} without the refinement matmul;
+    # ADMM tolerates ~1e-5 inexact KKT solves (fixed-point iteration), and
+    # the NS inverse reaches f32 roundoff levels
+    if use_pallas == 'auto':
+        blk = _pick_block(B, m, n, dtype)
+        use_pallas = (kkt_mode == 'ns' and blk is not None
+                      and jax.default_backend() == 'tpu')
+    elif use_pallas == 'always':
+        blk = _pick_block(B, m, n, dtype) or 1
+        use_pallas = kkt_mode in ('ns', 'inv')
+    else:
+        use_pallas = False
+
     def body(state):
         x, z, y, it, done, it_vec, rp_last, rd_last = state
-        def inner(_, carry):
-            return one_iter(carry)
-        xn, zn, yn = jax.lax.fori_loop(0, st.check_interval, inner, (x, z, y))
+        if use_pallas:
+            from ..ops.admm_kernel import admm_iterate_pallas
+            xn, zn, yn = admm_iterate_pallas(
+                Minv, As, qs, ls, us, rho_vec, x, z, y,
+                st.sigma, st.alpha, st.check_interval, block=blk)
+        else:
+            def inner(_, carry):
+                return one_iter(carry)
+            xn, zn, yn = jax.lax.fori_loop(
+                0, st.check_interval, inner, (x, z, y))
         # freeze converged instances: batch result == single-instance result
         mask = done[:, None]
         x = jnp.where(mask, x, xn)

@@ -10,6 +10,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CT_CPU=1 forces the CPU backend (useful when no TPU is attached)
+import jax as _jax
+if os.environ.get('CT_CPU') == '1':
+    _jax.config.update('jax_platforms', 'cpu')
+    _jax.config.update('jax_enable_x64', True)
+
 import numpy as np
 
 import cvxpygen_tpu as ct

@@ -9,6 +9,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
 
+# CT_CPU=1 forces the CPU backend (useful when no TPU is attached)
+import jax as _jax
+if os.environ.get('CT_CPU') == '1':
+    _jax.config.update('jax_platforms', 'cpu')
+    _jax.config.update('jax_enable_x64', True)
+
 import numpy as np
 
 from problems import MPC_problem, assign_MPC
