@@ -18,6 +18,14 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: remote AOT compiles on the axon relay take
+    # minutes; cache hits make re-runs start in seconds
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from problems import MPC_problem, assign_MPC

@@ -39,6 +39,9 @@ class VarInfo:
     offset: int
     size: int
     is_user: bool
+    # symmetric variables: COO (rows, cols) mapping free entries -> full
+    # F-order flattening (reference upper_tri_to_full, canonicalizer.py:124)
+    expand: Optional[tuple] = None
 
 
 @dataclass
@@ -183,8 +186,11 @@ def canonicalize(problem: Problem) -> Family:
     var_info = []
     offset = 0
     for v in problem.variables():
-        var_info.append(VarInfo(v.id, v.name(), v.shape, offset, v.size, True))
-        offset += v.size
+        fsize = getattr(v, 'free_size', v.size)
+        expand = v.expansion() if hasattr(v, 'expansion') else None
+        var_info.append(VarInfo(v.id, v.name(), v.shape, offset, fsize, True,
+                                expand=expand))
+        offset += fsize
     for v in prog.aux_vars:
         var_info.append(VarInfo(v.id, None, v.shape, offset, v.size, False))
         offset += v.size
@@ -316,11 +322,20 @@ def canonicalize(problem: Problem) -> Family:
 # ---------------------------------------------------------------------------
 
 def retrieve_primal(family: Family, x):
-    """x (n,) -> dict var_id -> flat value (F-order)."""
+    """x (n,) -> dict var_id -> flat FULL value (F-order); symmetric
+    variables are expanded from their free entries."""
     out = {}
     for vi in family.var_info:
-        if vi.is_user:
-            out[vi.vid] = np.asarray(x[vi.offset:vi.offset + vi.size])
+        if not vi.is_user:
+            continue
+        free = np.asarray(x[vi.offset:vi.offset + vi.size])
+        if vi.expand is not None:
+            full = np.zeros(int(np.prod(vi.shape)))
+            rows, cols = vi.expand
+            full[rows] = free[cols]
+            out[vi.vid] = full
+        else:
+            out[vi.vid] = free
     return out
 
 

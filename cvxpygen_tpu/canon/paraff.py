@@ -111,10 +111,23 @@ def constant(arr, p1):
 
 def var_leaf(var, p1):
     s = var.size
-    rows = np.arange(s) + s * np.arange(s)  # (i + s*i)
-    coeff = _csr(spa.coo_matrix((np.ones(s), (rows, np.full(s, p1 - 1))),
-                                shape=(s * s, p1)))
-    return Aff(var.shape, {var.id: coeff}, empty_map(s, p1), {var.id: s}, p1)
+    expansion = var.expansion() if hasattr(var, 'expansion') else None
+    if expansion is None:
+        rows = np.arange(s) + s * np.arange(s)  # (i + s*i)
+        coeff = _csr(spa.coo_matrix((np.ones(s), (rows, np.full(s, p1 - 1))),
+                                    shape=(s * s, p1)))
+        return Aff(var.shape, {var.id: coeff}, empty_map(s, p1),
+                   {var.id: s}, p1)
+    # symmetric variable: full entries are a fixed expansion of the free
+    # (upper-triangular) entries; coefficient of free var j at output i
+    er, ec = expansion
+    m = var.free_size
+    rows = er + s * ec  # (i + s*j)
+    coeff = _csr(spa.coo_matrix(
+        (np.ones(len(rows)), (rows, np.full(len(rows), p1 - 1))),
+        shape=(s * m, p1)))
+    return Aff(var.shape, {var.id: coeff}, empty_map(s, p1),
+               {var.id: m}, p1)
 
 
 def param_leaf(param, theta_offset, p1):

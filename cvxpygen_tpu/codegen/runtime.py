@@ -77,6 +77,8 @@ class CpgRuntime:
 
     # -- main solve (method='CPG') --------------------------------------
     def cpg_solve(self, prob, updated_params=None, **kwargs):
+        verbose = bool(kwargs.pop('verbose', False)) and \
+            ('verbose' in self.enable_settings)
         st = self._settings(kwargs)
         theta = self._pack(prob, updated_params)
         t0 = time.perf_counter()
@@ -102,6 +104,15 @@ class CpgRuntime:
             extra=dict(pri_res=float(out.get('pri_res', out.get('res_primal'))[0]),
                        dua_res=float(out.get('dua_res', out.get('res_dual'))[0])))
         self._ctx = dict(out=out, theta=theta.copy())
+        if verbose:
+            # parity: enable_settings=['verbose'] solver printout checked by
+            # the reference's test_OSQP_verbose (tests/test_E2E_QP.py:226-248)
+            print(f'CVXPYgen-TPU {self.requested_solver}: '
+                  f'status {status}, iter {stats.num_iters}, '
+                  f'pri_res {stats.extra.get("pri_res", float("nan")):.2e}, '
+                  f'dua_res {stats.extra.get("dua_res", float("nan")):.2e}\n'
+                  f'optimal objective: {obj:.6f} '
+                  f'(solve time {1000 * solve_time:.2f} ms)')
         return prob.unpack_results(status, obj, primal, duals, stats)
 
     # -- gradients (gradient=True parity) --------------------------------

@@ -336,11 +336,46 @@ class Leaf(Expression):
 
 
 class Variable(Leaf):
-    """Decision variable (parity: cp.Variable(shape, name=..., nonneg=...))."""
+    """Decision variable (parity: cp.Variable(shape, name=..., nonneg=...,
+    symmetric=...)).  Symmetric matrix variables are represented by their
+    upper-triangular entries internally and expanded on retrieval
+    (reference canonicalizer.py:124-158 upper_tri_to_full)."""
 
-    def __init__(self, shape=(), name=None, nonneg=False, nonpos=False):
+    def __init__(self, shape=(), name=None, nonneg=False, nonpos=False,
+                 symmetric=False):
         super().__init__(shape, name, nonneg, nonpos)
+        self.attributes['symmetric'] = symmetric
+        if symmetric:
+            if len(self.shape) != 2 or self.shape[0] != self.shape[1]:
+                raise ValueError('symmetric requires a square matrix variable')
         self.gradient = None  # set by user for cpg_gradient parity
+
+    @property
+    def free_size(self):
+        """Number of independent scalar entries."""
+        if self.attributes.get('symmetric'):
+            nn = self.shape[0]
+            return nn * (nn + 1) // 2
+        return self.size
+
+    def expansion(self):
+        """(rows, cols) COO of the map from free entries to the full
+        F-order flattening, or None for plain variables.  Free entries are
+        the upper triangle in column-major order."""
+        if not self.attributes.get('symmetric'):
+            return None
+        nn = self.shape[0]
+        rows, cols = [], []
+        k = 0
+        for j in range(nn):
+            for i in range(j + 1):
+                rows.append(i + nn * j)
+                cols.append(k)
+                if i != j:
+                    rows.append(j + nn * i)
+                    cols.append(k)
+                k += 1
+        return np.asarray(rows), np.asarray(cols)
 
     def curvature(self):
         return AFFINE

@@ -118,12 +118,13 @@ def newton_schulz_inverse(M, iters):
 
 
 def _pick_block(B, m, n, dtype):
-    """Largest batch block fitting VMEM: inputs are double-buffered and the
-    kernel's broadcast temporaries add ~2 more (BLK,m,n) tiles, so budget
-    the raw input tile at ~2.5MB (16MB scoped VMEM total)."""
-    bytes_per = (n * n + m * n) * (4 if dtype == jnp.float32 else 8)
-    for blk in (16, 8, 4, 2, 1):
-        if B % blk == 0 and blk * bytes_per <= int(2.5 * 1024 * 1024):
+    """Batch block for the fused kernel: must be a multiple of 8 (Mosaic
+    sublane tiling on the (block, n) operands) and fit scoped VMEM
+    (double-buffered inputs + ~2 (blk,m,n) broadcast temporaries < 14MB)."""
+    esize = 4 if dtype == jnp.float32 else 8
+    for blk in (32, 16, 8):
+        est = blk * (2 * (n * n + m * n) + 2 * m * n) * esize
+        if B % blk == 0 and est <= 14 * 1024 * 1024:
             return blk
     return None
 
