@@ -95,7 +95,9 @@ class CpgRuntime:
         elif obj <= -1e29:
             obj = -np.inf
         solved = bool(out['solved'][0])
-        status = 'optimal' if solved else 'max_iter'
+        code = int(out['status'][0]) if 'status' in out else (1 if solved else 0)
+        status = {1: 'optimal', 0: 'max_iter', -3: 'infeasible',
+                  -4: 'unbounded'}.get(code, 'solver_error')
         primal = retrieve_primal(fam, out['x'][0])
         duals = retrieve_duals(fam, out['y_canon'][0])
         stats = SolverStats(

@@ -159,7 +159,8 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
                     iters=jnp.ones((B,), jnp.int32),
                     pri_res=jnp.zeros((B,), dtype),
                     dua_res=jnp.zeros((B,), dtype),
-                    solved=jnp.ones((B,), jnp.bool_))
+                    solved=jnp.ones((B,), jnp.bool_),
+                    status=jnp.ones((B,), jnp.int32))
 
     # clamp infinities (parity with generated C: +-1e30)
     l = jnp.clip(l, -_INF, _INF)
@@ -244,7 +245,7 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         return rp, rd, ok
 
     def cond(state):
-        _, _, _, it, done, _, _, _ = state
+        it, done = state[3], state[4]
         return (~jnp.all(done)) & (it < st.max_iter)
 
     # fused-kernel eligibility: needs the explicit inverse and VMEM room
@@ -262,8 +263,37 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
     else:
         use_pallas = False
 
+    def infeasibility(dx, dy):
+        """OSQP section 3.4 certificates, per instance (scaled space with
+        unscaling factors applied; reference CPG_Info infeasible statuses,
+        utils.py:977-985).  Returns (prim_inf, dual_inf) masks."""
+        eps = jnp.asarray(1e-4, dtype)
+        dy_n = _inf_norm(E * dy) * c_inv
+        Atdy = jnp.einsum('bij,bi->bj', As, dy)
+        cert_p1 = _inf_norm(D_inv * Atdy) * c_inv <= eps * dy_n
+        u_fin = jnp.where(us < _INF * 0.5, us * E_inv, 0.0)
+        l_fin = jnp.where(ls > -_INF * 0.5, ls * E_inv, 0.0)
+        sup = jnp.sum(u_fin * jnp.maximum(E * dy, 0.0)
+                      + l_fin * jnp.minimum(E * dy, 0.0), axis=1) * c_inv
+        open_dir = (jnp.any((dy > 1e-12) & (us >= _INF * 0.5), axis=1)
+                    | jnp.any((dy < -1e-12) & (ls <= -_INF * 0.5), axis=1))
+        prim_inf = (dy_n > 1e-10) & cert_p1 & (sup <= -eps * dy_n) & ~open_dir
+
+        dx_n = _inf_norm(D * dx)
+        Pdx = jnp.einsum('bij,bj->bi', Ps, dx)
+        Adx = jnp.einsum('bij,bj->bi', As, dx)
+        cert_d1 = _inf_norm(D_inv * Pdx) * c_inv <= eps * dx_n
+        cert_d2 = (jnp.einsum('bi,bi->b', qs, dx) * c_inv) <= -eps * dx_n
+        up_ok = jnp.where(us >= _INF * 0.5, True,
+                          E_inv * Adx <= eps * dx_n[:, None])
+        lo_ok = jnp.where(ls <= -_INF * 0.5, True,
+                          E_inv * Adx >= -eps * dx_n[:, None])
+        dual_inf = ((dx_n > 1e-10) & cert_d1 & cert_d2
+                    & jnp.all(up_ok & lo_ok, axis=1))
+        return prim_inf, dual_inf
+
     def body(state):
-        x, z, y, it, done, it_vec, rp_last, rd_last = state
+        x, z, y, it, done, it_vec, rp_last, rd_last, status = state
         if use_pallas:
             from ..ops.admm_kernel import admm_iterate_pallas
             xn, zn, yn = admm_iterate_pallas(
@@ -276,20 +306,28 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
                 0, st.check_interval, inner, (x, z, y))
         # freeze converged instances: batch result == single-instance result
         mask = done[:, None]
+        dx = jnp.where(mask, 0.0, xn - x)
+        dy = jnp.where(mask, 0.0, yn - y)
         x = jnp.where(mask, x, xn)
         z = jnp.where(mask, z, zn)
         y = jnp.where(mask, y, yn)
         it = it + st.check_interval
         rp, rd, ok = residuals(x, z, y)
+        p_inf, d_inf = infeasibility(dx, dy)
         newly = ok & (~done)
         it_vec = jnp.where(newly, it, it_vec)
-        done = done | ok
-        return x, z, y, it, done, it_vec, rp, rd
+        status = jnp.where(ok & (status == 0), 1, status)
+        status = jnp.where(p_inf & (status == 0), -3, status)
+        status = jnp.where(d_inf & (status == 0), -4, status)
+        done = done | ok | p_inf | d_inf
+        return x, z, y, it, done, it_vec, rp, rd, status
 
     state0 = (x_init, z_init, y_init, jnp.int32(0),
               jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.int32),
-              jnp.full((B,), jnp.inf, dtype), jnp.full((B,), jnp.inf, dtype))
-    x, z, y, it, done, it_vec, rp, rd = jax.lax.while_loop(cond, body, state0)
+              jnp.full((B,), jnp.inf, dtype), jnp.full((B,), jnp.inf, dtype),
+              jnp.zeros((B,), jnp.int32))
+    (x, z, y, it, done, it_vec, rp, rd,
+     status) = jax.lax.while_loop(cond, body, state0)
     it_vec = jnp.where(done, it_vec, it)
 
     # unscale
@@ -298,5 +336,10 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
     y_u = c_inv[:, None] * E * y
     obj = c_inv * (0.5 * jnp.einsum('bi,bij,bj->b', x, Ps, x)
                    + jnp.einsum('bi,bi->b', qs, x))
+    # status codes (OSQP-like): 1 solved, 0 max_iter,
+    # -3 primal_infeasible, -4 dual_infeasible
+    obj = jnp.where(status == -3, jnp.inf, obj)
+    obj = jnp.where(status == -4, -jnp.inf, obj)
     return dict(x=x_u, y=y_u, z=z_u, obj=obj, iters=it_vec,
-                pri_res=rp, dua_res=rd, solved=done)
+                pri_res=rp, dua_res=rd, solved=(status == 1),
+                status=status)
