@@ -165,15 +165,10 @@ class Minimum(Atom):
         return s
 
     def curvature(self):
-        c = CONSTANT
         for a in self.args:
-            ca = a.curvature()
-            if ca in (CONSTANT, AFFINE, CONCAVE):
-                c = CONCAVE if ca == CONCAVE or c == CONCAVE else (
-                    AFFINE if AFFINE in (ca, c) else CONSTANT)
-            else:
+            if a.curvature() not in (CONSTANT, AFFINE, CONCAVE):
                 return UNKNOWN
-        return CONCAVE if c != CONSTANT else CONCAVE
+        return CONCAVE
 
     def numeric(self, values):
         out = values[0]
