@@ -54,7 +54,8 @@ def main():
     # XLA path whose remote compile is several minutes faster on the relay.
     use_pallas = 'auto' if os.environ.get('BENCH_PALLAS') == '1' else 'never'
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
-                      check_interval=25, use_pallas=use_pallas)
+                      check_interval=25, use_pallas=use_pallas,
+                      adaptive_rho=True)
 
     @jax.jit
     def step(jf, theta):

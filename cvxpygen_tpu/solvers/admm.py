@@ -53,6 +53,13 @@ class ADMMSettings:
     # VMEM-resident across check_interval iterations.  'auto' enables on
     # TPU when a block fits VMEM; 'always'/'never' force.
     use_pallas: str = 'auto'
+    # adaptive rho (OSQP section 5.2): rescale by the normalized residual
+    # ratio at each check; re-"factorization" is a warm Newton-Schulz
+    # restart.  Off by default (reference comparison settings pin it off,
+    # tests/utils_test.py:25-28).
+    adaptive_rho: bool = False
+    adaptive_rho_tolerance: float = 5.0
+    ns_adapt_iters: int = 12
 
 
 def _inf_norm(v, axis=-1):
@@ -117,6 +124,20 @@ def newton_schulz_inverse(M, iters):
     return jax.lax.fori_loop(0, iters, body, X)
 
 
+def newton_schulz_warm(M, X0, iters):
+    """Newton-Schulz restarted from a previous inverse (adaptive-rho
+    refactorization: M changed by a moderate diagonal-rho update, so the
+    old inverse is an excellent starting point)."""
+    n = M.shape[-1]
+    I2 = 2.0 * jnp.eye(n, dtype=M.dtype)
+
+    def body(_, X):
+        MX = jnp.einsum('bij,bjk->bik', M, X)
+        return jnp.einsum('bij,bjk->bik', X, I2 - MX)
+
+    return jax.lax.fori_loop(0, iters, body, X0)
+
+
 def _pick_block(B, m, n, dtype):
     """Batch block for the fused kernel: must be a multiple of 8 (Mosaic
     sublane tiling on the (block, n) operands) and fit scoped VMEM
@@ -171,42 +192,54 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
     D_inv = 1.0 / D
     E_inv = 1.0 / E
 
-    # per-row rho: equalities get rho_eq_scale * rho (OSQP convention)
+    # per-row rho: equalities get rho_eq_scale * rho (OSQP convention);
+    # a per-instance scale factor supports adaptive rho
     is_eq = jnp.arange(m) < n_eq
-    rho_vec = jnp.where(is_eq, st.rho * st.rho_eq_scale, st.rho)
-    rho_vec = jnp.broadcast_to(rho_vec.astype(dtype), (B, m))
-    rho_inv = 1.0 / rho_vec
+    rho_base = jnp.broadcast_to(
+        jnp.where(is_eq, st.rho * st.rho_eq_scale, st.rho).astype(dtype),
+        (B, m))
 
-    M = (Ps + st.sigma * jnp.eye(n, dtype=dtype)
-         + jnp.einsum('bki,bk,bkj->bij', As, rho_vec, As))
+    def form_M(rho_vec):
+        return (Ps + st.sigma * jnp.eye(n, dtype=dtype)
+                + jnp.einsum('bki,bk,bkj->bij', As, rho_vec, As))
+
     kkt_mode = st.kkt_solver
     if kkt_mode == 'auto':
         kkt_mode = 'ns' if jax.default_backend() not in ('cpu',) else 'inv'
-    if kkt_mode == 'ns':
-        Minv = newton_schulz_inverse(M, st.ns_iters)
 
-        def kkt_apply(rhs):
-            xt = jnp.einsum('bij,bj->bi', Minv, rhs)
-            for _ in range(st.kkt_refine):
-                r = rhs - jnp.einsum('bij,bj->bi', M, xt)
-                xt = xt + jnp.einsum('bij,bj->bi', Minv, r)
-            return xt
-    elif kkt_mode == 'inv':
+    adaptive = st.adaptive_rho and kkt_mode != 'chol'
+
+    def factor(rho_vec, Minv_warm=None):
+        M = form_M(rho_vec)
+        if kkt_mode == 'ns':
+            if Minv_warm is None:
+                return newton_schulz_inverse(M, st.ns_iters)
+            return newton_schulz_warm(M, Minv_warm, st.ns_adapt_iters)
         Lc = jnp.linalg.cholesky(M)
-        Minv = jax.scipy.linalg.cho_solve(
-            (Lc, True), jnp.broadcast_to(jnp.eye(n, dtype=dtype), M.shape))
+        if kkt_mode == 'inv':
+            return jax.scipy.linalg.cho_solve(
+                (Lc, True),
+                jnp.broadcast_to(jnp.eye(n, dtype=dtype), M.shape))
+        return Lc
 
-        def kkt_apply(rhs):
-            xt = jnp.einsum('bij,bj->bi', Minv, rhs)
-            for _ in range(st.kkt_refine):
-                r = rhs - jnp.einsum('bij,bj->bi', M, xt)
-                xt = xt + jnp.einsum('bij,bj->bi', Minv, r)
-            return xt
-    else:
-        Lc = jnp.linalg.cholesky(M)
+    Minv0 = factor(rho_base)
+    use_chol = (kkt_mode == 'chol')
 
-        def kkt_apply(rhs):
-            return jax.scipy.linalg.cho_solve((Lc, True), rhs[..., None])[..., 0]
+    def M_matvec(rho_vec, x):
+        # M x without materializing M (used by iterative refinement)
+        Ax = jnp.einsum('bij,bj->bi', As, x)
+        return (jnp.einsum('bij,bj->bi', Ps, x) + st.sigma * x
+                + jnp.einsum('bkj,bk->bj', As, rho_vec * Ax))
+
+    def kkt_apply(Minv, rho_vec, rhs):
+        if use_chol:
+            return jax.scipy.linalg.cho_solve((Minv, True),
+                                              rhs[..., None])[..., 0]
+        xt = jnp.einsum('bij,bj->bi', Minv, rhs)
+        for _ in range(st.kkt_refine):
+            r = rhs - M_matvec(rho_vec, xt)
+            xt = xt + jnp.einsum('bij,bj->bi', Minv, r)
+        return xt
 
     if x0 is not None:
         x_init = D_inv * x0.astype(dtype)
@@ -219,13 +252,13 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
     else:
         y_init = jnp.zeros((B, m), dtype)
 
-    def one_iter(carry):
+    def one_iter(carry, Minv, rho_vec):
         x, z, y = carry
         rhs = st.sigma * x - qs + jnp.einsum('bkj,bk->bj', As, rho_vec * z - y)
-        xt = kkt_apply(rhs)
+        xt = kkt_apply(Minv, rho_vec, rhs)
         zt = jnp.einsum('bij,bj->bi', As, xt)
         x1 = st.alpha * xt + (1 - st.alpha) * x
-        w = st.alpha * zt + (1 - st.alpha) * z + rho_inv * y
+        w = st.alpha * zt + (1 - st.alpha) * z + y / rho_vec
         z1 = jnp.clip(w, ls, us)
         y1 = rho_vec * (w - z1)
         return x1, z1, y1
@@ -242,10 +275,10 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
             _inf_norm(D_inv * qs))
         ok = ((rp <= st.eps_abs + st.eps_rel * rp_den)
               & (rd <= st.eps_abs + st.eps_rel * rd_den))
-        return rp, rd, ok
+        return rp, rd, rp_den, rd_den, ok
 
     def cond(state):
-        it, done = state[3], state[4]
+        it, done = state[5], state[6]
         return (~jnp.all(done)) & (it < st.max_iter)
 
     # fused-kernel eligibility: needs the explicit inverse and VMEM room
@@ -293,7 +326,9 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         return prim_inf, dual_inf
 
     def body(state):
-        x, z, y, it, done, it_vec, rp_last, rd_last, status = state
+        (x, z, y, rho_scale, Minv, it, done, it_vec, rp_last, rd_last,
+         status) = state
+        rho_vec = rho_base * rho_scale[:, None]
         if use_pallas:
             from ..ops.admm_kernel import admm_iterate_pallas
             xn, zn, yn = admm_iterate_pallas(
@@ -301,7 +336,7 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
                 st.sigma, st.alpha, st.check_interval, block=blk)
         else:
             def inner(_, carry):
-                return one_iter(carry)
+                return one_iter(carry, Minv, rho_vec)
             xn, zn, yn = jax.lax.fori_loop(
                 0, st.check_interval, inner, (x, z, y))
         # freeze converged instances: batch result == single-instance result
@@ -312,7 +347,7 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         z = jnp.where(mask, z, zn)
         y = jnp.where(mask, y, yn)
         it = it + st.check_interval
-        rp, rd, ok = residuals(x, z, y)
+        rp, rd, rp_den, rd_den, ok = residuals(x, z, y)
         p_inf, d_inf = infeasibility(dx, dy)
         newly = ok & (~done)
         it_vec = jnp.where(newly, it, it_vec)
@@ -320,13 +355,35 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         status = jnp.where(p_inf & (status == 0), -3, status)
         status = jnp.where(d_inf & (status == 0), -4, status)
         done = done | ok | p_inf | d_inf
-        return x, z, y, it, done, it_vec, rp, rd, status
 
-    state0 = (x_init, z_init, y_init, jnp.int32(0),
+        if adaptive:
+            # OSQP adaptive rho: scale by sqrt of normalized residual ratio;
+            # with the NS inverse a "re-factorization" is a warm restart
+            ratio = jnp.sqrt(
+                (rp / jnp.maximum(rp_den, 1e-10))
+                / jnp.maximum(rd / jnp.maximum(rd_den, 1e-10), 1e-10))
+            tol = st.adaptive_rho_tolerance
+            change = ((ratio > tol) | (ratio < 1.0 / tol)) & (~done)
+            new_scale = jnp.clip(rho_scale * jnp.where(change, ratio, 1.0),
+                                 1e-6, 1e6)
+
+            def refactor(_):
+                return factor(rho_base * new_scale[:, None], Minv_warm=Minv)
+
+            Minv2 = jax.lax.cond(jnp.any(change), refactor,
+                                 lambda _: Minv, operand=None)
+            # rescale duals so y/rho stays consistent (OSQP keeps y)
+            rho_scale = new_scale
+            Minv = Minv2
+
+        return (x, z, y, rho_scale, Minv, it, done, it_vec, rp, rd, status)
+
+    state0 = (x_init, z_init, y_init, jnp.ones((B,), dtype), Minv0,
+              jnp.int32(0),
               jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.int32),
               jnp.full((B,), jnp.inf, dtype), jnp.full((B,), jnp.inf, dtype),
               jnp.zeros((B,), jnp.int32))
-    (x, z, y, it, done, it_vec, rp, rd,
+    (x, z, y, _, _, it, done, it_vec, rp, rd,
      status) = jax.lax.while_loop(cond, body, state0)
     it_vec = jnp.where(done, it_vec, it)
 
