@@ -126,10 +126,20 @@ def newton_schulz_inverse(M, iters):
 
 def newton_schulz_warm(M, X0, iters):
     """Newton-Schulz restarted from a previous inverse (adaptive-rho
-    refactorization: M changed by a moderate diagonal-rho update, so the
-    old inverse is an excellent starting point)."""
+    refactorization: M changed by a diagonal-rho update, so the old inverse
+    is a good starting point).
+
+    NS diverges unless eig(M X0) in (0, 2); a stale X0 after a large rho
+    change can violate that.  Since eig(M X0) > 0 for SPD M, X0 (similar to
+    an SPD product), rescaling X0 by ||M X0||_inf >= lambda_max pins the
+    spectrum into (0, 1] -- monotone convergence from ANY SPD warm start.
+    When X0 is already accurate the scale is ~1 and convergence stays
+    quadratic."""
     n = M.shape[-1]
     I2 = 2.0 * jnp.eye(n, dtype=M.dtype)
+    MX0 = jnp.einsum('bij,bjk->bik', M, X0)
+    ninf = jnp.max(jnp.sum(jnp.abs(MX0), axis=2), axis=1)
+    X0 = X0 / jnp.maximum(ninf, 1.0)[:, None, None]
 
     def body(_, X):
         MX = jnp.einsum('bij,bjk->bik', M, X)
@@ -364,8 +374,11 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
                 / jnp.maximum(rd / jnp.maximum(rd_den, 1e-10), 1e-10))
             tol = st.adaptive_rho_tolerance
             change = ((ratio > tol) | (ratio < 1.0 / tol)) & (~done)
-            new_scale = jnp.clip(rho_scale * jnp.where(change, ratio, 1.0),
-                                 1e-6, 1e6)
+            # clamp the per-update factor: the warm NS restart recovers a
+            # bounded spectrum shift per refactorization (see
+            # newton_schulz_warm), and OSQP's own rho updates are gradual
+            step_f = jnp.clip(jnp.where(change, ratio, 1.0), 0.1, 10.0)
+            new_scale = jnp.clip(rho_scale * step_f, 1e-6, 1e6)
 
             def refactor(_):
                 return factor(rho_base * new_scale[:, None], Minv_warm=Minv)
