@@ -17,10 +17,13 @@ from ..canon.canonicalizer import Family, retrieve_duals, retrieve_primal
 from ..problem import SolverStats
 from ..runtime.solver import make_compiled_solver
 from ..solvers.admm import ADMMSettings
+from ..solvers.conic_admm import ConicADMMSettings
 from ..solvers.ipm import IPMSettings
 
 _ADMM_SETTING_NAMES = {f.name for f in dataclasses.fields(ADMMSettings)}
 _IPM_SETTING_NAMES = {f.name for f in dataclasses.fields(IPMSettings)}
+_CONIC_ADMM_SETTING_NAMES = {
+    f.name for f in dataclasses.fields(ConicADMMSettings)}
 # reference-name translation (reference osqp.py:102-115 settings registry)
 _SETTING_ALIASES = {
     'max_iter': 'max_iter', 'eps_abs': 'eps_abs', 'eps_rel': 'eps_rel',
@@ -44,8 +47,12 @@ class CpgRuntime:
     # -- settings -------------------------------------------------------
     def _settings(self, kwargs):
         base = self.solver.settings
-        names = (_ADMM_SETTING_NAMES if isinstance(base, ADMMSettings)
-                 else _IPM_SETTING_NAMES)
+        if isinstance(base, ADMMSettings):
+            names = _ADMM_SETTING_NAMES
+        elif isinstance(base, ConicADMMSettings):
+            names = _CONIC_ADMM_SETTING_NAMES
+        else:
+            names = _IPM_SETTING_NAMES
         upd = {}
         for k, v in kwargs.items():
             k2 = _SETTING_ALIASES.get(k, k)

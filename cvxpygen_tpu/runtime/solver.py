@@ -138,16 +138,63 @@ class CompiledConicSolver:
         return problem.unpack_results(status, obj, primal, duals, stats)
 
 
+class CompiledConicADMMSolver:
+    """Conic-ADMM-backed compiled family solver (SCS role; also the engine
+    for exp/PSD-cone families, which the NT-scaled IPM does not cover --
+    mirroring how the reference routes exp/PSD problems to solvers with the
+    right cone support, reference scs.py:130-135 / clarabel.py:133-155)."""
+
+    solver_name = 'CONIC_ADMM'
+
+    def __init__(self, family: Family, settings=None, dtype=None):
+        from ..ops.cones import ConeLayout
+        from ..solvers.conic_admm import ConicADMMSettings, conic_admm_solve
+        self.family = family
+        self.settings = settings or ConicADMMSettings()
+        self.jf = JaxFamily.from_family(family, dtype=dtype)
+        layout = ConeLayout(
+            n_nonneg=family.n_nonneg, socs=tuple(family.soc_dims),
+            n_exp=getattr(family, 'n_exp', 0),
+            psds=tuple(getattr(family, 'psd_dims', ()) or ()))
+
+        def raw(jf, theta, x0, y0, settings):
+            data = canon_batch(jf, theta)
+            res = conic_admm_solve(data['P'], data['q'], data['A'],
+                                   data['b'], jf.n_zero, layout, settings,
+                                   x0=x0, y0=y0)
+            res['d'] = data['d']
+            res['y_canon'] = -res['y']
+            return res
+
+        self._solve_jit = jax.jit(raw, static_argnames=('settings',))
+
+    def solve_batch(self, theta, settings=None, x0=None, y0=None):
+        theta = jnp.atleast_2d(jnp.asarray(theta))
+        return self._solve_jit(self.jf, theta, x0, y0,
+                               settings or self.settings)
+
+    solve_into_problem = CompiledQPSolver.solve_into_problem
+
+
 def make_compiled_solver(family: Family, solver='ADMM', settings=None,
                          dtype=None):
     """Resolve a solver name to a compiled solver.  Accepts the reference's
     solver names as aliases (reference generator.py:161-173):
-    OSQP -> ADMM; SCS/ECOS/CLARABEL/QOCO/QOCOGEN -> IPM (conic)."""
+    OSQP -> ADMM; SCS -> conic ADMM; ECOS/CLARABEL/QOCO -> IPM (conic);
+    exp/PSD-cone families route to conic ADMM regardless (the only engine
+    with those cones, as in the reference only some solvers accept them)."""
     name = (solver or 'ADMM').upper()
-    if name in ('ADMM', 'OSQP') and not family.soc_dims:
+    has_exotic = bool(getattr(family, 'n_exp', 0)
+                      or getattr(family, 'psd_dims', ()))
+    if name in ('ADMM', 'OSQP') and not (family.soc_dims or has_exotic):
         return CompiledQPSolver(family, settings=settings, dtype=dtype)
     if name in ('ADMM', 'OSQP'):
-        raise ValueError(f'{solver}: QP-form solver but family has SOC cones')
-    if name in ('IPM', 'SCS', 'ECOS', 'CLARABEL', 'QOCO', 'QOCOGEN'):
+        raise ValueError(f'{solver}: QP-form solver but family has cones')
+    if name in ('SCS', 'CONIC_ADMM') or has_exotic:
+        if name not in ('SCS', 'CONIC_ADMM', 'IPM', 'ECOS', 'CLARABEL',
+                        'QOCO', 'QOCOGEN'):
+            raise ValueError(f'unknown solver {solver!r}')
+        return CompiledConicADMMSolver(family, settings=settings, dtype=dtype)
+    if name in ('IPM', 'ECOS', 'CLARABEL', 'QOCO', 'QOCOGEN'):
         return CompiledConicSolver(family, settings=settings, dtype=dtype)
     raise ValueError(f'unknown solver {solver!r}')

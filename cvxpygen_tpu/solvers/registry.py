@@ -13,6 +13,7 @@ from dataclasses import dataclass, field, fields
 from typing import Any, Dict, Optional
 
 from .admm import ADMMSettings
+from .conic_admm import ConicADMMSettings
 from .ipm import IPMSettings
 
 
@@ -38,6 +39,9 @@ def _registry_from_dataclass(cls, cvxpy_names=None):
 ADMM_SETTINGS: Dict[str, Setting] = _registry_from_dataclass(
     ADMMSettings, cvxpy_names={'warm_starting': 'warm_start'})
 IPM_SETTINGS: Dict[str, Setting] = _registry_from_dataclass(IPMSettings)
+CONIC_ADMM_SETTINGS: Dict[str, Setting] = _registry_from_dataclass(
+    ConicADMMSettings, cvxpy_names={'warm_starting': 'warm_start',
+                                    'max_iter': 'max_iters'})
 EXPLICIT_SETTINGS: Dict[str, Setting] = {
     'max_regions': Setting('int', 500),
     'fp16': Setting('bool', False),
@@ -52,7 +56,8 @@ SOLVER_REGISTRY = {
     'ADMM': ('ADMM', ADMM_SETTINGS),
     'OSQP': ('ADMM', ADMM_SETTINGS),
     'IPM': ('IPM', IPM_SETTINGS),
-    'SCS': ('IPM', IPM_SETTINGS),
+    'CONIC_ADMM': ('CONIC_ADMM', CONIC_ADMM_SETTINGS),
+    'SCS': ('CONIC_ADMM', CONIC_ADMM_SETTINGS),
     'ECOS': ('IPM', IPM_SETTINGS),
     'CLARABEL': ('IPM', IPM_SETTINGS),
     'QOCO': ('IPM', IPM_SETTINGS),
