@@ -16,17 +16,19 @@ Brand-new implementation of the capability set of cvxgrp/cvxpygen
 
 from .expressions import Constant, Parameter, Variable
 from .problem import Maximize, Minimize, Problem
-from .constraints import SOC
+from .constraints import ExpCone, SOC
 from .atoms import (
-    abs, diff, maximum, minimum, multiply, neg, norm, norm1, norm2, norm_inf,
-    pos, quad_form, reshape, square, sum, sum_squares, trace, vec,
+    abs, diff, entr, exp, kl_div, log, log_sum_exp, logistic, maximum,
+    minimum, multiply, neg, norm, norm1, norm2, norm_inf, pos, quad_form,
+    rel_entr, reshape, square, sum, sum_squares, trace, vec,
 )
 
 __all__ = [
     'Variable', 'Parameter', 'Constant', 'Problem', 'Minimize', 'Maximize',
-    'SOC', 'abs', 'diff', 'maximum', 'minimum', 'multiply', 'neg', 'norm',
-    'norm1', 'norm2', 'norm_inf', 'pos', 'quad_form', 'reshape', 'square',
-    'sum', 'sum_squares', 'trace', 'vec',
+    'SOC', 'ExpCone', 'abs', 'diff', 'entr', 'exp', 'kl_div', 'log',
+    'log_sum_exp', 'logistic', 'maximum', 'minimum', 'multiply', 'neg',
+    'norm', 'norm1', 'norm2', 'norm_inf', 'pos', 'quad_form', 'rel_entr',
+    'reshape', 'square', 'sum', 'sum_squares', 'trace', 'vec',
 ]
 
 __version__ = '0.1.0'

@@ -295,6 +295,159 @@ class NegPart(Atom):
 
 
 # ---------------------------------------------------------------------------
+# Exponential-cone atoms (reference: supported via Clarabel's exp cone,
+# cvxpygen/solvers/clarabel.py:133-155; here lowered to EXP rows consumed by
+# the conic-ADMM engine's exp-cone projection, ops/cones.py)
+# ---------------------------------------------------------------------------
+
+def _monotone_curv(arg, result, increasing=True):
+    """Curvature of a monotone convex/concave scalar atom composition."""
+    c = arg.curvature()
+    if c == CONSTANT:
+        return CONSTANT
+    if c == AFFINE:
+        return result
+    if result == CONVEX:
+        ok = CONVEX if increasing else CONCAVE
+    else:
+        ok = CONCAVE if increasing else CONVEX
+    return result if c == ok else UNKNOWN
+
+
+class Exp(Atom):
+    """Elementwise e^x (convex, increasing, positive)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _monotone_curv(self.args[0], CONVEX, increasing=True)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.exp(values[0])
+
+
+class Log(Atom):
+    """Elementwise natural log (concave, increasing)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _monotone_curv(self.args[0], CONCAVE, increasing=True)
+
+    def sign(self):
+        return SIGN_UNKNOWN
+
+    def numeric(self, values):
+        return np.log(values[0])
+
+
+class Entr(Atom):
+    """Elementwise entropy -x log x (concave, not monotone: affine arg)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONCAVE)
+
+    def numeric(self, values):
+        x = np.asarray(values[0], dtype=float)
+        return np.where(x > 0, -x * np.log(np.where(x > 0, x, 1.0)),
+                        np.where(x == 0, 0.0, -np.inf))
+
+
+class RelEntr(Atom):
+    """Elementwise x log(x/y) (jointly convex; affine args)."""
+
+    def _shape_from_args(self):
+        a, b = self.args
+        return broadcast_shapes(a.shape, b.shape)
+
+    def curvature(self):
+        for a in self.args:
+            if a.curvature() not in (CONSTANT, AFFINE):
+                return UNKNOWN
+        if all(a.curvature() == CONSTANT for a in self.args):
+            return CONSTANT
+        return CONVEX
+
+    def numeric(self, values):
+        x, y = (np.asarray(v, dtype=float) for v in values)
+        return np.where((x > 0) & (y > 0),
+                        x * np.log(np.where((x > 0) & (y > 0), x / y, 1.0)),
+                        np.where((x == 0) & (y >= 0), 0.0, np.inf))
+
+
+class KlDiv(Atom):
+    """Elementwise x log(x/y) - x + y (convex, nonneg; affine args)."""
+
+    def _shape_from_args(self):
+        a, b = self.args
+        return broadcast_shapes(a.shape, b.shape)
+
+    def curvature(self):
+        return RelEntr.curvature(self)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        x, y = (np.asarray(v, dtype=float) for v in values)
+        r = RelEntr.numeric(self, values)
+        return r - x + y
+
+
+class Logistic(Atom):
+    """Elementwise log(1 + e^x) (convex, increasing, positive)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _monotone_curv(self.args[0], CONVEX, increasing=True)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.logaddexp(0.0, values[0])
+
+
+class LogSumExp(Atom):
+    """log sum_i e^{x_i} over all entries (axis=None) or along an axis
+    (convex, increasing)."""
+
+    def __init__(self, x, axis=None):
+        self.axis = axis
+        super().__init__(x)
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if self.axis is None:
+            return ()
+        if x.ndim != 2:
+            raise ValueError('axis only valid for matrices')
+        return (x.shape[1],) if self.axis == 0 else (x.shape[0],)
+
+    def curvature(self):
+        return _monotone_curv(self.args[0], CONVEX, increasing=True)
+
+    def numeric(self, values):
+        x = np.asarray(values[0], dtype=float)
+        if self.axis is None:
+            m = x.max()
+            return m + np.log(np.sum(np.exp(x - m)))
+        m = x.max(axis=self.axis)
+        return m + np.log(np.sum(
+            np.exp(x - np.expand_dims(m, self.axis)), axis=self.axis))
+
+
+# ---------------------------------------------------------------------------
 # Functional API (cp.* parity)
 # ---------------------------------------------------------------------------
 
@@ -369,3 +522,31 @@ def pos(x):
 
 def neg(x):
     return NegPart(x)
+
+
+def exp(x):
+    return Exp(x)
+
+
+def log(x):
+    return Log(x)
+
+
+def entr(x):
+    return Entr(x)
+
+
+def rel_entr(x, y):
+    return RelEntr(x, y)
+
+
+def kl_div(x, y):
+    return KlDiv(x, y)
+
+
+def logistic(x):
+    return Logistic(x)
+
+
+def log_sum_exp(x, axis=None):
+    return LogSumExp(x, axis=axis)

@@ -84,6 +84,10 @@ class Family:
     # theta-QUADRATIC objective offset (p1, p1); affects only the reported
     # objective value, never the minimizer (see paraff.Quad.d_quad)
     d_quad: Optional[spa.csr_matrix] = None
+    # exponential cones (3 rows each, after soc rows) and PSD blocks
+    # (svec rows, s(s+1)/2 each, after exp rows)
+    n_exp: int = 0
+    psd_dims: List[int] = field(default_factory=list)
 
     # ------------------------------------------------------------------
     @property
@@ -163,8 +167,8 @@ class Family:
         """OSQP-style box: l <= A x <= u derived from aff = A x + b groups
         (zero rows: equality; nonneg rows: A x >= -b)."""
         mz, mn = self.n_zero, self.n_nonneg
-        if self.soc_dims:
-            raise ValueError('QP form unavailable: problem has SOC cones')
+        if self.soc_dims or self.n_exp or self.psd_dims:
+            raise ValueError('QP form unavailable: problem has cones')
         l = np.concatenate([-b[:mz], -b[mz:mz + mn]])
         u = np.concatenate([-b[:mz], np.full(mn, np.inf)])
         return l, u
@@ -258,7 +262,8 @@ def canonicalize(problem: Problem) -> Family:
     n_zero = prog.n_zero
     n_nonneg = prog.n_nonneg
     soc_dims = [t.size + x.size for (t, x) in prog.socs]
-    m = n_zero + n_nonneg + int(sum(soc_dims))
+    n_exp = len(prog.exps)
+    m = n_zero + n_nonneg + int(sum(soc_dims)) + 3 * n_exp
 
     Ai, Aj, Amaps = [], [], []
     b_blocks = []
@@ -289,6 +294,10 @@ def canonicalize(problem: Problem) -> Family:
     for (t_aff, x_aff) in prog.socs:
         r = emit_aff(t_aff, r)
         r = emit_aff(x_aff, r)
+    for (x_aff, y_aff, z_aff) in prog.exps:
+        r = emit_aff(x_aff, r)
+        r = emit_aff(y_aff, r)
+        r = emit_aff(z_aff, r)
     assert r == m
 
     if Ai:
@@ -311,6 +320,7 @@ def canonicalize(problem: Problem) -> Family:
         is_maximization=problem.objective.is_maximization,
         P_idx=P_idx, P_map=P_map, q_map=q_map, d_map=d_map,
         m=m, n_zero=n_zero, n_nonneg=n_nonneg, soc_dims=soc_dims,
+        n_exp=n_exp,
         A_idx=A_idx, A_map=A_map, b_map=b_map,
         constr_records=prog.constr_records,
         d_quad=(quad.d_quad if quad.d_quad is not None
@@ -349,7 +359,19 @@ def retrieve_duals(family: Family, y):
     for d in family.soc_dims:
         soc_row_starts.append(base)
         base += d
+    exp_row_start = base  # exp triples follow the soc rows
     for rec in family.constr_records:
+        if rec['kind'] == 'exp':
+            r0 = exp_row_start + 3 * rec['cone_start']
+            tri = y[r0:r0 + 3 * rec['n_cones']].reshape(-1, 3)
+            shape = rec['shape']
+            comps = []
+            for j in range(3):
+                v = tri[:, j]
+                comps.append(v.reshape(shape, order='F') if shape
+                             else float(v[0]))
+            duals.append(comps)
+            continue
         if rec['kind'] == 'zero':
             seg = y[rec['start']:rec['start'] + rec['size']]
             v = -seg

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import atoms as at
-from ..constraints import Equality, Inequality, SOC
+from ..constraints import Equality, ExpCone, Inequality, SOC
 from ..expressions import (
     AddExpression, Constant, Expression, Index, MatMul, Multiply, Negate,
     Parameter, Promote, Reshape, Transpose, Variable, _next_id,
@@ -44,6 +44,7 @@ class ConeProgram:
         self.zeros = []      # list[Aff]  (aff == 0)
         self.nonnegs = []    # list[Aff]  (aff >= 0)
         self.socs = []       # list[(t Aff scalar, x Aff vector)]
+        self.exps = []       # list[(x, y, z) scalar Affs]: triple in K_exp
         self.n_zero = 0
         self.n_nonneg = 0
         self.constr_records = []  # per user constraint
@@ -65,6 +66,11 @@ class ConeProgram:
     def add_soc(self, t_aff, x_aff):
         self.socs.append((t_aff, x_aff))
         return len(self.socs) - 1
+
+    def add_exp(self, x_aff, y_aff, z_aff):
+        assert x_aff.size == y_aff.size == z_aff.size == 1
+        self.exps.append((x_aff, y_aff, z_aff))
+        return len(self.exps) - 1
 
 
 class Lowering:
@@ -146,6 +152,18 @@ class Lowering:
                 dict(kind='soc', cone_start=idx0, n_cones=con.n_cones,
                      cone_dim=con.cone_dim, axis=con.axis,
                      x_shape=X.shape, shape=con.shape))
+        elif isinstance(con, ExpCone):
+            xl = self.lower(con.x)
+            yl = self.lower(con.y)
+            zl = self.lower(con.z)
+            idx0 = len(prog.exps)
+            for k in range(con.n_cones):
+                prog.add_exp(pa.index_select(xl, [k], ()),
+                             pa.index_select(yl, [k], ()),
+                             pa.index_select(zl, [k], ()))
+            prog.constr_records.append(
+                dict(kind='exp', cone_start=idx0, n_cones=con.n_cones,
+                     shape=con.shape))
         elif isinstance(con, Inequality):
             # lhs <= rhs  ->  rhs - lhs >= 0; epigraph lowering of the
             # convex lhs / concave rhs happens inside lower()
@@ -220,6 +238,23 @@ class Lowering:
             self.prog.add_nonneg(pa.add(t, el))
             self.prog.add_nonneg(t)
             return t
+        if isinstance(e, at.Exp):
+            return self._epi_exp(e)
+        if isinstance(e, at.Log):
+            return self._hypo_log(e)
+        if isinstance(e, at.Entr):
+            return self._hypo_entr(e)
+        if isinstance(e, at.RelEntr):
+            return self._epi_rel_entr(e)
+        if isinstance(e, at.KlDiv):
+            xl = self.lower(e.args[0])
+            yl = self.lower(e.args[1])
+            r = self._epi_rel_entr(e)
+            return pa.add(r, pa.add(pa.neg(xl), yl))
+        if isinstance(e, at.Logistic):
+            return self._epi_logistic(e)
+        if isinstance(e, at.LogSumExp):
+            return self._epi_log_sum_exp(e)
         if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
             raise NotImplementedError(
                 'quadratic atoms are only supported in the objective')
@@ -318,6 +353,98 @@ class Lowering:
             xi = pa.index_select(el, sel, (len(sel),))
             ti = pa.index_select(t, [i], ())
             self.prog.add_soc(ti, xi)
+        return t
+
+    # -- exponential-cone graph implementations ------------------------
+    # K_exp = cl{(a, b, c): b > 0, b e^{a/b} <= c}  (ops/cones.py)
+    def _one(self):
+        return pa.constant(1.0, self.p1)
+
+    def _elems(self, aff):
+        return [pa.index_select(aff, [k], ()) for k in range(aff.size)]
+
+    def _epi_exp(self, e):
+        """t >= e^x  <=>  (x, 1, t) in K_exp (elementwise)."""
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        one = self._one()
+        for xk, tk in zip(self._elems(el), self._elems(t)):
+            self.prog.add_exp(xk, one, tk)
+        return t
+
+    def _hypo_log(self, e):
+        """t <= log x  <=>  (t, 1, x) in K_exp."""
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        one = self._one()
+        for xk, tk in zip(self._elems(el), self._elems(t)):
+            self.prog.add_exp(tk, one, xk)
+        return t
+
+    def _hypo_entr(self, e):
+        """t <= -x log x  <=>  (t, x, 1) in K_exp."""
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        one = self._one()
+        for xk, tk in zip(self._elems(el), self._elems(t)):
+            self.prog.add_exp(tk, xk, one)
+        return t
+
+    def _epi_rel_entr(self, e):
+        """t >= x log(x/y)  <=>  (-t, x, y) in K_exp."""
+        xl = self.lower(e.args[0])
+        yl = self.lower(e.args[1])
+        if xl.size == 1 and yl.size > 1:
+            xl = pa.promote(xl, e.shape)
+        if yl.size == 1 and xl.size > 1:
+            yl = pa.promote(yl, e.shape)
+        t = self.aux(e.shape)
+        for xk, yk, tk in zip(self._elems(xl), self._elems(yl),
+                              self._elems(t)):
+            self.prog.add_exp(pa.neg(tk), xk, yk)
+        return t
+
+    def _epi_logistic(self, e):
+        """t >= log(1+e^x): e^{x-t} + e^{-t} <= 1 via two exp cones."""
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        u = self.aux(e.shape)
+        v = self.aux(e.shape)
+        one = self._one()
+        for xk, tk, uk, vk in zip(self._elems(el), self._elems(t),
+                                  self._elems(u), self._elems(v)):
+            self.prog.add_exp(pa.add(xk, pa.neg(tk)), one, uk)
+            self.prog.add_exp(pa.neg(tk), one, vk)
+            self.prog.add_nonneg(
+                pa.add(one, pa.neg(pa.add(uk, vk))))
+        return t
+
+    def _epi_log_sum_exp(self, e):
+        """t >= log sum e^{x_i}: sum_i e^{x_i - t} <= 1."""
+        el = self.lower(e.args[0])
+        one = self._one()
+        arg = e.args[0]
+        if e.axis is None:
+            groups = [list(range(el.size))]
+            t = self.aux(())
+            t_elems = [t] * 1
+        else:
+            r, c = arg.shape
+            n_g = c if e.axis == 0 else r
+            if e.axis == 0:
+                groups = [[g * r + i for i in range(r)] for g in range(n_g)]
+            else:
+                groups = [[g + r * j for j in range(c)] for g in range(n_g)]
+            t = self.aux((n_g,))
+            t_elems = self._elems(t)
+        el_elems = self._elems(el)
+        for g, rows in enumerate(groups):
+            tg = t_elems[g] if e.axis is not None else t
+            u = self.aux((len(rows),))
+            u_elems = self._elems(u)
+            for uk, i in zip(u_elems, rows):
+                self.prog.add_exp(pa.add(el_elems[i], pa.neg(tg)), one, uk)
+            self.prog.add_nonneg(pa.add(one, pa.neg(pa.sum_all(u))))
         return t
 
     def _epi_minmax(self, e, convex):

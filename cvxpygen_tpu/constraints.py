@@ -121,3 +121,41 @@ class SOC(Constraint):
 
     def __repr__(self):
         return f'SOC(n_cones={self.n_cones}, cone_dim={self.cone_dim})'
+
+
+class ExpCone(Constraint):
+    """Exponential-cone constraint: (x_i, y_i, z_i) in K_exp elementwise,
+    K_exp = cl{(x, y, z): y > 0, y e^{x/y} <= z}.
+
+    Parity: cvxpy.constraints.ExpCone(x, y, z), the cone the reference
+    supports through Clarabel (cvxpygen/solvers/clarabel.py:139).
+    dual_value is a list [du, dv, dw] shaped like the arguments.
+    """
+
+    def __init__(self, x, y, z):
+        super().__init__([x, y, z])
+        self.x, self.y, self.z = self.args
+        if not all(a.is_affine() for a in self.args):
+            raise ValueError('ExpCone arguments must be affine')
+        if not (self.x.shape == self.y.shape == self.z.shape):
+            raise ValueError('ExpCone arguments must share one shape')
+        self.shape = self.x.shape
+        self.n_cones = self.x.size
+
+    @property
+    def size(self):
+        return 3 * self.n_cones
+
+    def violation(self):
+        from .ops.cones import _proj_exp_np
+        xv = np.ravel(np.asarray(self.x.value, dtype=float), order='F')
+        yv = np.ravel(np.asarray(self.y.value, dtype=float), order='F')
+        zv = np.ravel(np.asarray(self.z.value, dtype=float), order='F')
+        out = np.zeros(self.n_cones)
+        for k in range(self.n_cones):
+            v = np.array([xv[k], yv[k], zv[k]])
+            out[k] = np.linalg.norm(v - _proj_exp_np(v))
+        return out.reshape(self.shape) if self.shape else float(out[0])
+
+    def __repr__(self):
+        return f'ExpCone(n_cones={self.n_cones})'

@@ -47,20 +47,22 @@ class JaxFamily:
     dense_mode: bool = True
     nP: int = 0
     nA: int = 0
+    n_exp: int = 0
+    psd_dims: tuple = ()
 
     def tree_flatten(self):
         leaves = (self.maps, self.d_quad, self.P_ij, self.A_ij)
         aux = (self.n, self.m, self.p, self.n_zero, self.n_nonneg,
                self.soc_dims, self.is_maximization, self.dense_mode,
-               self.nP, self.nA)
+               self.nP, self.nA, self.n_exp, self.psd_dims)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         maps, d_quad, P_ij, A_ij = leaves
-        n, m, p, nz, nn, soc, ismax, dense, nP, nA = aux
+        n, m, p, nz, nn, soc, ismax, dense, nP, nA, n_exp, psd = aux
         return cls(n, m, p, nz, nn, soc, ismax, maps, d_quad, P_ij, A_ij,
-                   dense, nP, nA)
+                   dense, nP, nA, n_exp, psd)
 
     # ------------------------------------------------------------------
     DENSE_LIMIT = 3e7  # max dense-map entries (~120MB f32)
@@ -90,7 +92,8 @@ class JaxFamily:
                 n_nonneg=fam.n_nonneg, soc_dims=tuple(fam.soc_dims),
                 is_maximization=fam.is_maximization,
                 maps=jnp.asarray(stacked, dtype=dtype), d_quad=d_quad,
-                dense_mode=True)
+                dense_mode=True, n_exp=getattr(fam, 'n_exp', 0),
+                psd_dims=tuple(getattr(fam, 'psd_dims', ()) or ()))
         # scatter layout for large families: map rows only for nonzeros
         stacked = np.vstack([
             fam.P_map.toarray(), fam.q_map.toarray(), fam.d_map.toarray(),
@@ -102,7 +105,9 @@ class JaxFamily:
             maps=jnp.asarray(stacked, dtype=dtype), d_quad=d_quad,
             P_ij=jnp.asarray(np.stack(fam.P_idx, 1), jnp.int32),
             A_ij=jnp.asarray(np.stack(fam.A_idx, 1), jnp.int32),
-            dense_mode=False, nP=len(fam.P_idx[0]), nA=len(fam.A_idx[0]))
+            dense_mode=False, nP=len(fam.P_idx[0]), nA=len(fam.A_idx[0]),
+            n_exp=getattr(fam, 'n_exp', 0),
+            psd_dims=tuple(getattr(fam, 'psd_dims', ()) or ()))
 
 
 def _expand_rows(map_csr, idx, total_rows, n):
@@ -148,8 +153,8 @@ def canon_batch(jf: JaxFamily, theta):
 def qp_bounds_batch(jf: JaxFamily, b):
     """OSQP-style box (l, u) from the aff-convention offsets b (B, m):
     zero rows: l = u = -b; nonneg rows: -b <= A x <= +inf."""
-    if jf.soc_dims:
-        raise ValueError('QP form unavailable: family has SOC cones')
+    if jf.soc_dims or jf.n_exp or jf.psd_dims:
+        raise ValueError('QP form unavailable: family has cones')
     mz = jf.n_zero
     l = -b
     u = jnp.concatenate(

@@ -189,7 +189,8 @@ def make_compiled_solver(family: Family, solver='ADMM', settings=None,
     if name in ('ADMM', 'OSQP') and not (family.soc_dims or has_exotic):
         return CompiledQPSolver(family, settings=settings, dtype=dtype)
     if name in ('ADMM', 'OSQP'):
-        raise ValueError(f'{solver}: QP-form solver but family has cones')
+        raise ValueError(f'{solver}: QP-form solver but family has cones '
+                         '(SOC/exp/PSD)')
     if name in ('SCS', 'CONIC_ADMM') or has_exotic:
         if name not in ('SCS', 'CONIC_ADMM', 'IPM', 'ECOS', 'CLARABEL',
                         'QOCO', 'QOCOGEN'):

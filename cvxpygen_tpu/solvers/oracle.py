@@ -307,12 +307,92 @@ def solve_conic_qp(P, q, E, f, G, h, dims: ConeDims, max_iter=100,
                         float(np.linalg.norm(rx)))
 
 
+def solve_conic_admm_np(P, q, A, b, n_zero, layout, tol=1e-9,
+                        max_iter=200000, rho=1.0, sigma=1e-6, alpha=1.5):
+    """Float64 conic ADMM oracle (unbatched) for cone families the NT-scaled
+    IPM does not cover (exp/PSD).  Same splitting as
+    solvers/conic_admm.py, NumPy twin projections from ops/cones.py.
+    Correctness over speed: exact Cholesky KKT, tight tolerance."""
+    import scipy.linalg as sla
+
+    from ..ops.cones import project_cone_np
+
+    m, n = A.shape
+    mc = m - n_zero
+    rho_vec = np.where(np.arange(m) < n_zero, 1e3 * rho, rho)
+    x = np.zeros(n)
+    z = np.zeros(m)
+    y = np.zeros(m)
+
+    def factor(rv):
+        M = P + sigma * np.eye(n) + A.T @ (rv[:, None] * A)
+        return sla.cho_factor(M)
+
+    cf = factor(rho_vec)
+    it = 0
+    status = 'max_iter'
+    for it in range(1, max_iter + 1):
+        rhs = sigma * x - q + A.T @ (rho_vec * z - y)
+        xt = sla.cho_solve(cf, rhs)
+        zt = A @ xt
+        x = alpha * xt + (1 - alpha) * x
+        w = alpha * zt + (1 - alpha) * z + y / rho_vec
+        z_new = np.empty(m)
+        z_new[:n_zero] = -b[:n_zero]
+        if mc:
+            z_new[n_zero:] = project_cone_np(w[n_zero:] + b[n_zero:],
+                                             layout) - b[n_zero:]
+        y = rho_vec * (w - z_new)
+        z = z_new
+        if it % 50 == 0:
+            Ax = A @ x
+            rp = np.max(np.abs(Ax - z)) if m else 0.0
+            rd = np.max(np.abs(P @ x + q + A.T @ y))
+            den_p = max(np.max(np.abs(Ax), initial=0.0),
+                        np.max(np.abs(z), initial=0.0), 1.0)
+            den_d = max(np.max(np.abs(P @ x)), np.max(np.abs(q)),
+                        np.max(np.abs(A.T @ y), initial=0.0), 1.0)
+            if rp <= tol * den_p and rd <= tol * den_d:
+                status = 'optimal'
+                break
+            # adaptive rho every 1000 iters
+            if it % 1000 == 0:
+                ratio = np.sqrt((rp / den_p) / max(rd / den_d, 1e-16))
+                if ratio > 5.0 or ratio < 0.2:
+                    rho_vec = np.clip(rho_vec * np.clip(ratio, 0.1, 10.0),
+                                      1e-6, 1e6)
+                    cf = factor(rho_vec)
+    obj = 0.5 * x @ P @ x + q @ x
+    y_canon = -y  # Family convention: Px + q - A'y_canon = 0
+    nu = y_canon[:n_zero]
+    zc = y_canon[n_zero:]
+    rp = float(np.linalg.norm(A @ x - z)) if m else 0.0
+    rd = float(np.linalg.norm(P @ x + q + A.T @ y))
+    return OracleResult(status, x, nu, zc, z[n_zero:] + b[n_zero:], obj, it,
+                        float(abs((z[n_zero:] + b[n_zero:]) @ zc)), rp, rd)
+
+
 def solve_family_numpy(family, theta, **kwargs):
     """Canonicalize at theta and solve with the oracle.  Returns
     (OracleResult, y_full) with y the canonical dual in Family convention
-    (y = [nu; z] over [zero | nonneg | socs] rows)."""
+    (y = [nu; z] over [zero | nonneg | socs | exp | psd] rows).
+
+    Families with exp/PSD cones route to the float64 conic-ADMM oracle
+    (the NT-scaled IPM covers zero/nonneg/SOC only), mirroring how the
+    reference routes cone types to capable solvers (scs.py:130-135)."""
     P, q, d, A, b = family.canon_numpy(theta)
     mz = family.n_zero
+    n_exp = getattr(family, 'n_exp', 0)
+    psd_dims = tuple(getattr(family, 'psd_dims', ()) or ())
+    if n_exp or psd_dims:
+        from ..ops.cones import ConeLayout
+        layout = ConeLayout(n_nonneg=family.n_nonneg,
+                            socs=tuple(family.soc_dims),
+                            n_exp=n_exp, psds=psd_dims)
+        kw = {k: v for k, v in kwargs.items() if k in ('tol', 'max_iter')}
+        res = solve_conic_admm_np(P, q, A, b, mz, layout, **kw)
+        y = np.concatenate([res.nu, res.z]) if family.m else np.zeros(0)
+        return res, y
     E, f = A[:mz], b[:mz]
     G, h = A[mz:], b[mz:]
     dims = ConeDims(family.n_nonneg, list(family.soc_dims))
