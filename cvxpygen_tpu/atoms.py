@@ -448,6 +448,45 @@ class LogSumExp(Atom):
 
 
 # ---------------------------------------------------------------------------
+# PSD-cone atoms (reference: Clarabel PSD triangle cone,
+# cvxpygen/solvers/clarabel.py:148-154)
+# ---------------------------------------------------------------------------
+
+class LambdaMax(Atom):
+    """Largest eigenvalue of a symmetric matrix (convex; affine arg)."""
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if x.ndim != 2 or x.shape[0] != x.shape[1]:
+            raise ValueError('lambda_max requires a square matrix')
+        return ()
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def numeric(self, values):
+        X = np.asarray(values[0], dtype=float)
+        return float(np.linalg.eigvalsh(0.5 * (X + X.T)).max())
+
+
+class LambdaMin(Atom):
+    """Smallest eigenvalue of a symmetric matrix (concave; affine arg)."""
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if x.ndim != 2 or x.shape[0] != x.shape[1]:
+            raise ValueError('lambda_min requires a square matrix')
+        return ()
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONCAVE)
+
+    def numeric(self, values):
+        X = np.asarray(values[0], dtype=float)
+        return float(np.linalg.eigvalsh(0.5 * (X + X.T)).min())
+
+
+# ---------------------------------------------------------------------------
 # Functional API (cp.* parity)
 # ---------------------------------------------------------------------------
 
@@ -550,3 +589,11 @@ def logistic(x):
 
 def log_sum_exp(x, axis=None):
     return LogSumExp(x, axis=axis)
+
+
+def lambda_max(x):
+    return LambdaMax(x)
+
+
+def lambda_min(x):
+    return LambdaMin(x)

@@ -263,7 +263,9 @@ def canonicalize(problem: Problem) -> Family:
     n_nonneg = prog.n_nonneg
     soc_dims = [t.size + x.size for (t, x) in prog.socs]
     n_exp = len(prog.exps)
-    m = n_zero + n_nonneg + int(sum(soc_dims)) + 3 * n_exp
+    psd_dims = [s for (_, s) in prog.psds]
+    m = (n_zero + n_nonneg + int(sum(soc_dims)) + 3 * n_exp
+         + int(sum(s * (s + 1) // 2 for s in psd_dims)))
 
     Ai, Aj, Amaps = [], [], []
     b_blocks = []
@@ -298,6 +300,8 @@ def canonicalize(problem: Problem) -> Family:
         r = emit_aff(x_aff, r)
         r = emit_aff(y_aff, r)
         r = emit_aff(z_aff, r)
+    for (svec_aff, _) in prog.psds:
+        r = emit_aff(svec_aff, r)
     assert r == m
 
     if Ai:
@@ -320,7 +324,7 @@ def canonicalize(problem: Problem) -> Family:
         is_maximization=problem.objective.is_maximization,
         P_idx=P_idx, P_map=P_map, q_map=q_map, d_map=d_map,
         m=m, n_zero=n_zero, n_nonneg=n_nonneg, soc_dims=soc_dims,
-        n_exp=n_exp,
+        n_exp=n_exp, psd_dims=psd_dims,
         A_idx=A_idx, A_map=A_map, b_map=b_map,
         constr_records=prog.constr_records,
         d_quad=(quad.d_quad if quad.d_quad is not None
@@ -360,7 +364,19 @@ def retrieve_duals(family: Family, y):
         soc_row_starts.append(base)
         base += d
     exp_row_start = base  # exp triples follow the soc rows
+    psd_row_starts = []
+    base = base + 3 * getattr(family, 'n_exp', 0)
+    for s in getattr(family, 'psd_dims', ()) or ():
+        psd_row_starts.append(base)
+        base += s * (s + 1) // 2
     for rec in family.constr_records:
+        if rec['kind'] == 'psd':
+            from ..ops.cones import unsvec_np
+            s = rec['s']
+            r0 = psd_row_starts[rec['cone_start']]
+            seg = y[r0:r0 + s * (s + 1) // 2]
+            duals.append(unsvec_np(seg, s))
+            continue
         if rec['kind'] == 'exp':
             r0 = exp_row_start + 3 * rec['cone_start']
             tri = y[r0:r0 + 3 * rec['n_cones']].reshape(-1, 3)

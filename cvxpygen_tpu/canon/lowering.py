@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import atoms as at
-from ..constraints import Equality, ExpCone, Inequality, SOC
+from ..constraints import Equality, ExpCone, Inequality, PSD, SOC
 from ..expressions import (
     AddExpression, Constant, Expression, Index, MatMul, Multiply, Negate,
     Parameter, Promote, Reshape, Transpose, Variable, _next_id,
@@ -45,6 +45,7 @@ class ConeProgram:
         self.nonnegs = []    # list[Aff]  (aff >= 0)
         self.socs = []       # list[(t Aff scalar, x Aff vector)]
         self.exps = []       # list[(x, y, z) scalar Affs]: triple in K_exp
+        self.psds = []       # list[(svec Aff, s)]: svec block in PSD cone
         self.n_zero = 0
         self.n_nonneg = 0
         self.constr_records = []  # per user constraint
@@ -71,6 +72,11 @@ class ConeProgram:
         assert x_aff.size == y_aff.size == z_aff.size == 1
         self.exps.append((x_aff, y_aff, z_aff))
         return len(self.exps) - 1
+
+    def add_psd(self, svec_aff, s):
+        assert svec_aff.size == s * (s + 1) // 2
+        self.psds.append((svec_aff, s))
+        return len(self.psds) - 1
 
 
 class Lowering:
@@ -100,6 +106,13 @@ class Lowering:
                 prog.add_nonneg(pa.var_leaf(v, self.p1))
             if v.attributes.get('nonpos'):
                 prog.add_nonneg(pa.neg(pa.var_leaf(v, self.p1)))
+            if v.attributes.get('PSD'):
+                s = v.shape[0]
+                prog.add_psd(self._svec_aff(pa.var_leaf(v, self.p1), s), s)
+            if v.attributes.get('NSD'):
+                s = v.shape[0]
+                prog.add_psd(
+                    self._svec_aff(pa.neg(pa.var_leaf(v, self.p1)), s), s)
         obj = self.problem.objective
         expr = obj.expr
         if obj.is_maximization:
@@ -164,6 +177,13 @@ class Lowering:
             prog.constr_records.append(
                 dict(kind='exp', cone_start=idx0, n_cones=con.n_cones,
                      shape=con.shape))
+        elif isinstance(con, PSD):
+            el = self.lower(con.expr)
+            s = con.shape[0]
+            idx0 = len(prog.psds)
+            prog.add_psd(self._svec_aff(el, s), s)
+            prog.constr_records.append(
+                dict(kind='psd', cone_start=idx0, s=s, shape=con.shape))
         elif isinstance(con, Inequality):
             # lhs <= rhs  ->  rhs - lhs >= 0; epigraph lowering of the
             # convex lhs / concave rhs happens inside lower()
@@ -255,6 +275,10 @@ class Lowering:
             return self._epi_logistic(e)
         if isinstance(e, at.LogSumExp):
             return self._epi_log_sum_exp(e)
+        if isinstance(e, at.LambdaMax):
+            return self._epi_lambda_max(e)
+        if isinstance(e, at.LambdaMin):
+            return self._hypo_lambda_min(e)
         if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
             raise NotImplementedError(
                 'quadratic atoms are only supported in the objective')
@@ -353,6 +377,56 @@ class Lowering:
             xi = pa.index_select(el, sel, (len(sel),))
             ti = pa.index_select(t, [i], ())
             self.prog.add_soc(ti, xi)
+        return t
+
+    # -- PSD-cone graph implementations ---------------------------------
+    def _svec_aff(self, el, s):
+        """svec of the symmetric part of a lowered (s, s) matrix Aff:
+        upper triangle, column-major, off-diagonals scaled sqrt(2)
+        (ops/cones.py convention; an isometry, so cone projection commutes)."""
+        import scipy.sparse as spa
+        k = s * (s + 1) // 2
+        rows, cols, vals = [], [], []
+        r = 0
+        h = np.sqrt(2.0) / 2.0
+        for j in range(s):
+            for i in range(j + 1):
+                if i == j:
+                    rows.append(r)
+                    cols.append(i + s * j)
+                    vals.append(1.0)
+                else:
+                    rows.extend([r, r])
+                    cols.extend([i + s * j, j + s * i])
+                    vals.extend([h, h])
+                r += 1
+        T = spa.coo_matrix((vals, (rows, cols)), shape=(k, s * s)).tocsr()
+        return pa.apply_linear(T, el, (k,))
+
+    def _diag_embed(self, t, s):
+        """scalar Aff t -> (s, s) Aff t*I."""
+        import scipy.sparse as spa
+        idx = np.arange(s) * (s + 1)
+        T = spa.coo_matrix((np.ones(s), (idx, np.zeros(s, dtype=int))),
+                           shape=(s * s, 1)).tocsr()
+        return pa.apply_linear(T, t, (s, s))
+
+    def _epi_lambda_max(self, e):
+        """t >= lambda_max(X)  <=>  t I - X >> 0."""
+        el = self.lower(e.args[0])
+        s = e.args[0].shape[0]
+        t = self.aux(())
+        self.prog.add_psd(
+            self._svec_aff(pa.add(self._diag_embed(t, s), pa.neg(el)), s), s)
+        return t
+
+    def _hypo_lambda_min(self, e):
+        """t <= lambda_min(X)  <=>  X - t I >> 0."""
+        el = self.lower(e.args[0])
+        s = e.args[0].shape[0]
+        t = self.aux(())
+        self.prog.add_psd(
+            self._svec_aff(pa.add(el, pa.neg(self._diag_embed(t, s))), s), s)
         return t
 
     # -- exponential-cone graph implementations ------------------------

@@ -123,6 +123,40 @@ class SOC(Constraint):
         return f'SOC(n_cones={self.n_cones}, cone_dim={self.cone_dim})'
 
 
+class PSD(Constraint):
+    """Positive-semidefinite cone constraint: expr >> 0.
+
+    Parity: cvxpy.constraints.PSD, the cone the reference supports through
+    Clarabel (cvxpygen/solvers/clarabel.py:148-154 'PSDTriangleConeT').
+    The expression must be a square affine matrix; its symmetric part is
+    constrained (svec rows in the canonical form).  dual_value is the full
+    symmetric dual matrix.
+    """
+
+    def __init__(self, expr):
+        super().__init__([expr])
+        self.expr = self.args[0]
+        if self.expr.ndim != 2 or self.expr.shape[0] != self.expr.shape[1]:
+            raise ValueError('PSD constraint requires a square matrix')
+        if not self.expr.is_affine():
+            raise ValueError('PSD constraint requires an affine expression')
+        self.shape = self.expr.shape
+
+    @property
+    def size(self):
+        s = self.shape[0]
+        return s * (s + 1) // 2
+
+    def violation(self):
+        X = np.asarray(self.expr.value, dtype=float)
+        X = 0.5 * (X + X.T)
+        lam = np.linalg.eigvalsh(X)
+        return max(0.0, float(-lam.min()))
+
+    def __repr__(self):
+        return f'PSD(shape={self.shape})'
+
+
 class ExpCone(Constraint):
     """Exponential-cone constraint: (x_i, y_i, z_i) in K_exp elementwise,
     K_exp = cl{(x, y, z): y > 0, y e^{x/y} <= z}.

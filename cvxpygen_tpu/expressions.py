@@ -257,6 +257,16 @@ class Expression:
         from .constraints import Equality
         return Equality(self, to_expr(other))
 
+    def __rshift__(self, other):
+        """X >> Y: X - Y is positive semidefinite (cvxpy parity)."""
+        from .constraints import PSD
+        return PSD(self - to_expr(other))
+
+    def __lshift__(self, other):
+        """X << Y: Y - X is positive semidefinite."""
+        from .constraints import PSD
+        return PSD(to_expr(other) - self)
+
     def __hash__(self):
         return id(self)
 
@@ -342,10 +352,17 @@ class Variable(Leaf):
     (reference canonicalizer.py:124-158 upper_tri_to_full)."""
 
     def __init__(self, shape=(), name=None, nonneg=False, nonpos=False,
-                 symmetric=False):
+                 symmetric=False, PSD=False, NSD=False):
         super().__init__(shape, name, nonneg, nonpos)
-        self.attributes['symmetric'] = symmetric
-        if symmetric:
+        # PSD/NSD variables are symmetric with an implicit cone constraint
+        # (parity: cp.Variable(PSD=True); reference supports these through
+        # its symmetric upper-tri expansion, canonicalizer.py:124-158)
+        self.attributes['symmetric'] = symmetric or PSD or NSD
+        self.attributes['PSD'] = PSD
+        self.attributes['NSD'] = NSD
+        if PSD and NSD:
+            raise ValueError('a variable cannot be both PSD and NSD')
+        if self.attributes['symmetric']:
             if len(self.shape) != 2 or self.shape[0] != self.shape[1]:
                 raise ValueError('symmetric requires a square matrix variable')
         self.gradient = None  # set by user for cpg_gradient parity
