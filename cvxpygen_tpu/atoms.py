@@ -448,6 +448,111 @@ class LogSumExp(Atom):
 
 
 # ---------------------------------------------------------------------------
+# SOC-representable power-family atoms (lowered to rotated second-order
+# cones, canon/lowering.py _hyper; the classic uv >= w^2 representation)
+# ---------------------------------------------------------------------------
+
+class Sqrt(Atom):
+    """Elementwise sqrt(x) (concave, increasing, arg >= 0 implied)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _monotone_curv(self.args[0], CONCAVE, increasing=True)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.sqrt(values[0])
+
+
+class GeoMean(Atom):
+    """Two-term geometric mean sqrt(x * y), elementwise (concave)."""
+
+    def __init__(self, x, y):
+        super().__init__(x, y)
+
+    def _shape_from_args(self):
+        a, b = self.args
+        return broadcast_shapes(a.shape, b.shape)
+
+    def curvature(self):
+        for a in self.args:
+            if a.curvature() not in (CONSTANT, AFFINE, CONCAVE):
+                return UNKNOWN
+        if all(a.curvature() == CONSTANT for a in self.args):
+            return CONSTANT
+        return CONCAVE
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.sqrt(np.asarray(values[0]) * np.asarray(values[1]))
+
+
+class QuadOverLin(Atom):
+    """sum(x^2) / y with y > 0 (jointly convex; y concave-compatible)."""
+
+    def __init__(self, x, y):
+        super().__init__(x, y)
+        if self.args[1].size != 1:
+            raise ValueError('quad_over_lin denominator must be scalar')
+
+    def _shape_from_args(self):
+        return ()
+
+    def curvature(self):
+        x, y = self.args
+        if x.curvature() not in (CONSTANT, AFFINE):
+            return UNKNOWN
+        if y.curvature() not in (CONSTANT, AFFINE, CONCAVE):
+            return UNKNOWN
+        return CONVEX
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return float(np.sum(np.asarray(values[0]) ** 2)
+                     / float(np.asarray(values[1])))
+
+
+class InvPos(Atom):
+    """Elementwise 1/x on x > 0 (convex, decreasing)."""
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _monotone_curv(self.args[0], CONVEX, increasing=False)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return 1.0 / np.asarray(values[0], dtype=float)
+
+
+def _power_atom(x, p):
+    """cp.power parity for the p values the SOC lowering covers."""
+    p = float(p)
+    if p == 1.0:
+        return to_expr(x)
+    if p == 2.0:
+        return Square(x)
+    if p == 0.5:
+        return Sqrt(x)
+    if p == -1.0:
+        return InvPos(x)
+    raise NotImplementedError(
+        f'power p={p}: supported p are 1, 2, 0.5, -1 '
+        '(general rational powers via pow-cone: future work)')
+
+
+# ---------------------------------------------------------------------------
 # PSD-cone atoms (reference: Clarabel PSD triangle cone,
 # cvxpygen/solvers/clarabel.py:148-154)
 # ---------------------------------------------------------------------------
@@ -597,3 +702,29 @@ def lambda_max(x):
 
 def lambda_min(x):
     return LambdaMin(x)
+
+
+def sqrt(x):
+    return Sqrt(x)
+
+
+def geo_mean(x, y=None):
+    if y is None:
+        x = to_expr(x)
+        if x.size != 2:
+            raise NotImplementedError(
+                'geo_mean of an n-vector: only 2 elements supported')
+        return GeoMean(x[0], x[1])
+    return GeoMean(x, y)
+
+
+def quad_over_lin(x, y):
+    return QuadOverLin(x, y)
+
+
+def inv_pos(x):
+    return InvPos(x)
+
+
+def power(x, p):
+    return _power_atom(x, p)

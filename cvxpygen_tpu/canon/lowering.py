@@ -279,6 +279,14 @@ class Lowering:
             return self._epi_lambda_max(e)
         if isinstance(e, at.LambdaMin):
             return self._hypo_lambda_min(e)
+        if isinstance(e, at.Sqrt):
+            return self._hypo_sqrt(e)
+        if isinstance(e, at.GeoMean):
+            return self._hypo_geo_mean(e)
+        if isinstance(e, at.QuadOverLin):
+            return self._epi_quad_over_lin(e)
+        if isinstance(e, at.InvPos):
+            return self._epi_inv_pos(e)
         if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
             raise NotImplementedError(
                 'quadratic atoms are only supported in the objective')
@@ -377,6 +385,70 @@ class Lowering:
             xi = pa.index_select(el, sel, (len(sel),))
             ti = pa.index_select(t, [i], ())
             self.prog.add_soc(ti, xi)
+        return t
+
+    # -- rotated-SOC (hyperbolic) graph implementations ------------------
+    def _concat(self, affs):
+        """Stack scalar/vector Affs into one vector Aff."""
+        import scipy.sparse as spa
+        total = sum(a.size for a in affs)
+        out = None
+        off = 0
+        for a in affs:
+            T = spa.coo_matrix(
+                (np.ones(a.size), (np.arange(a.size) + off, np.arange(a.size))),
+                shape=(total, a.size)).tocsr()
+            piece = pa.apply_linear(T, a, (total,))
+            out = piece if out is None else pa.add(out, piece)
+            off += a.size
+        return out
+
+    def _hyper(self, u, v, w):
+        """u v >= ||w||^2, u, v >= 0 as the rotated SOC
+        ||(2w, u - v)||_2 <= u + v  (u, v scalar Affs; w any Aff)."""
+        t_aff = pa.add(u, v)
+        x_aff = self._concat([pa.scale(2.0, pa.reshape(w, (w.size,))),
+                              pa.add(u, pa.neg(v))])
+        self.prog.add_soc(t_aff, x_aff)
+
+    def _hypo_sqrt(self, e):
+        """t <= sqrt(x): t^2 <= x * 1."""
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        one = self._one()
+        for xk, tk in zip(self._elems(el), self._elems(t)):
+            self._hyper(xk, one, tk)
+        return t
+
+    def _hypo_geo_mean(self, e):
+        """t <= sqrt(x y): t^2 <= x y."""
+        xl = self.lower(e.args[0])
+        yl = self.lower(e.args[1])
+        if xl.size == 1 and yl.size > 1:
+            xl = pa.promote(xl, e.shape)
+        if yl.size == 1 and xl.size > 1:
+            yl = pa.promote(yl, e.shape)
+        t = self.aux(e.shape)
+        for xk, yk, tk in zip(self._elems(xl), self._elems(yl),
+                              self._elems(t)):
+            self._hyper(xk, yk, tk)
+        return t
+
+    def _epi_quad_over_lin(self, e):
+        """t >= ||x||^2 / y: ||x||^2 <= y t."""
+        xl = self.lower(e.args[0])
+        yl = self.lower(e.args[1])
+        t = self.aux(())
+        self._hyper(yl if yl.shape == () else pa.reshape(yl, ()), t, xl)
+        return t
+
+    def _epi_inv_pos(self, e):
+        """t >= 1/x (x > 0): t x >= 1."""
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        one = self._one()
+        for xk, tk in zip(self._elems(el), self._elems(t)):
+            self._hyper(tk, xk, one)
         return t
 
     # -- PSD-cone graph implementations ---------------------------------

@@ -104,23 +104,38 @@ def ruiz_equilibrate(P, q, A, l, u, iters):
     return P, q, A, l, u, c, D, E
 
 
-def newton_schulz_inverse(M, iters):
+def newton_schulz_inverse(M, iters, f32_iters=5):
     """Batched SPD inverse by Newton-Schulz: X <- X(2I - MX).
 
     Pure matmuls (MXU speed-of-light path); quadratic convergence from
     X0 = M' / (||M||_1 ||M||_inf).  Combined with the iterative-refinement
     step in kkt_apply, moderate inverse accuracy suffices for the solver
-    tolerances."""
+    tolerances.
+
+    NS is self-correcting (each step contracts toward M^-1 from the current
+    X), so the bulk iterations run in fast single-pass bf16 matmuls and only
+    the last `f32_iters` run at full f32 precision: the bf16 phase lands X
+    within ~1e-2 of M^-1, two quadratic f32 steps take it to roundoff."""
     B, n, _ = M.shape
     dtype = M.dtype
     ninf = jnp.max(jnp.sum(jnp.abs(M), axis=2), axis=1)
     X = jnp.swapaxes(M, 1, 2) / (ninf * ninf)[:, None, None]
     I2 = 2.0 * jnp.eye(n, dtype=dtype)
+    fast = (jax.default_backend() == 'tpu' and dtype == jnp.float32)
+
+    def body_fast(_, X):
+        MX = jnp.einsum('bij,bjk->bik', M, X,
+                        precision=jax.lax.Precision.DEFAULT)
+        return jnp.einsum('bij,bjk->bik', X, I2 - MX,
+                          precision=jax.lax.Precision.DEFAULT)
 
     def body(_, X):
         MX = jnp.einsum('bij,bjk->bik', M, X)
         return jnp.einsum('bij,bjk->bik', X, I2 - MX)
 
+    if fast and iters > f32_iters:
+        X = jax.lax.fori_loop(0, iters - f32_iters, body_fast, X)
+        return jax.lax.fori_loop(0, f32_iters, body, X)
     return jax.lax.fori_loop(0, iters, body, X)
 
 
