@@ -18,16 +18,17 @@ from .expressions import Constant, Parameter, Variable
 from .problem import Maximize, Minimize, Problem
 from .constraints import ExpCone, PSD, SOC
 from .atoms import (
-    abs, diff, entr, exp, geo_mean, inv_pos, kl_div, lambda_max, lambda_min,
-    log, log_sum_exp, logistic, maximum, minimum, multiply, neg, norm,
-    norm1, norm2, norm_inf, pos, power, quad_form, quad_over_lin, rel_entr,
-    reshape, sqrt, square, sum, sum_squares, trace, vec,
+    abs, diff, entr, exp, geo_mean, huber, inv_pos, kl_div, lambda_max,
+    lambda_min, log, log_sum_exp, logistic, maximum, minimum, multiply, neg,
+    norm, norm1, norm2, norm_inf, pos, power, quad_form, quad_over_lin,
+    rel_entr, reshape, sqrt, square, sum, sum_squares, trace, vec,
 )
 
 __all__ = [
     'Variable', 'Parameter', 'Constant', 'Problem', 'Minimize', 'Maximize',
     'SOC', 'ExpCone', 'PSD', 'abs', 'diff', 'entr', 'exp', 'geo_mean',
-    'inv_pos', 'kl_div', 'lambda_max', 'lambda_min', 'log', 'log_sum_exp',
+    'huber', 'inv_pos', 'kl_div', 'lambda_max', 'lambda_min', 'log',
+    'log_sum_exp',
     'logistic', 'maximum', 'minimum', 'multiply', 'neg', 'norm', 'norm1',
     'norm2', 'norm_inf', 'pos', 'power', 'quad_form', 'quad_over_lin',
     'rel_entr', 'reshape', 'sqrt', 'square', 'sum', 'sum_squares', 'trace',

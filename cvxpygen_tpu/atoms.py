@@ -262,6 +262,32 @@ class QuadForm(Atom):
         return float(v @ self.M @ v)
 
 
+class Huber(Atom):
+    """Elementwise Huber penalty: x^2 for |x| <= M, 2M|x| - M^2 beyond
+    (convex; affine arg).  QP-representable: huber(x) =
+    min_{x = n + s} n^2 + 2M|s| (canon/lowering.py objective path)."""
+
+    def __init__(self, x, M=1.0):
+        self.M = float(M.value if isinstance(M, Expression) else M)
+        if self.M <= 0:
+            raise ValueError('huber M must be positive')
+        super().__init__(x)
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONVEX)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        x = np.asarray(values[0], dtype=float)
+        M = self.M
+        return np.where(np.abs(x) <= M, x ** 2, 2 * M * np.abs(x) - M * M)
+
+
 class Pos(Atom):
     """max(x, 0) elementwise (convex)."""
 
@@ -728,3 +754,7 @@ def inv_pos(x):
 
 def power(x, p):
     return _power_atom(x, p)
+
+
+def huber(x, M=1.0):
+    return Huber(x, M)

@@ -287,7 +287,7 @@ class Lowering:
             return self._epi_quad_over_lin(e)
         if isinstance(e, at.InvPos):
             return self._epi_inv_pos(e)
-        if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
+        if isinstance(e, (at.SumSquares, at.Square, at.QuadForm, at.Huber)):
             raise NotImplementedError(
                 'quadratic atoms are only supported in the objective')
         raise NotImplementedError(f'cannot lower {type(e).__name__}')
@@ -623,6 +623,13 @@ class Lowering:
             return self._quad_of(e.args[0], M=None)
         if isinstance(e, at.QuadForm):
             return self._quad_of(e.args[0], M=e.M)
+        if isinstance(e, at.Huber):
+            if e.size != 1:
+                raise NotImplementedError(
+                    'vector huber must be wrapped in sum()')
+            return self._obj_huber(e)
+        if isinstance(e, at.Sum) and isinstance(e.args[0], at.Huber):
+            return self._obj_huber(e.args[0])
         if isinstance(e, at.Square):
             if e.size != 1:
                 raise NotImplementedError(
@@ -662,6 +669,18 @@ class Lowering:
             raise DPPError('variable * quadratic is not DCP')
         return q.scale_param(wl)
 
+    def _obj_huber(self, h):
+        """sum(huber(x, M)) = min_{x = n + s} sum(n^2) + 2M sum(|s|)
+        (aux-variable QP form; matches CVXPY's huber canonicalization)."""
+        el = self.lower(h.args[0])
+        nv = self.aux((el.size,))
+        sv = self.aux((el.size,))
+        flat = pa.reshape(el, (el.size,))
+        self.prog.add_zero(pa.add(flat, pa.neg(pa.add(nv, sv))))
+        t = self._epi_abs(sv)
+        quad = pa.quad_from_affine(nv)
+        return quad + pa.scale(2.0 * h.M, pa.sum_all(t))
+
     def _quad_of(self, inner, M=None, weights=None):
         el = self.lower(inner)
         need_aux = not el.coeffs_theta_free()
@@ -678,6 +697,6 @@ class Lowering:
 
 
 def _has_quad(e):
-    if isinstance(e, (at.SumSquares, at.Square, at.QuadForm)):
+    if isinstance(e, (at.SumSquares, at.Square, at.QuadForm, at.Huber)):
         return True
     return any(_has_quad(a) for a in e.args)

@@ -94,3 +94,30 @@ def test_sqrt_batched_compiled():
     obj = -np.asarray(out['obj'])  # maximization sign
     assert abs(obj[0] - 3 * np.sqrt(1.0)) < 1e-3
     assert abs(obj[1] - 3 * np.sqrt(2.0)) < 1e-3
+
+
+def test_huber_analytic():
+    """min sum(huber(x - a, M)): x free -> x = a, obj 0; with x pinned,
+    obj = huber(a)."""
+    n = 4
+    av = np.array([0.3, -2.0, 0.9, 5.0])
+    M = 1.0
+    x = ct.Variable(n, name='x')
+    a = ct.Parameter(n, name='a')
+    prob = ct.Problem(ct.Minimize(ct.sum(ct.huber(x - a, M))), [x == 0.0])
+    a.value = av
+    obj = prob.solve()
+    ref = float(np.sum(np.where(np.abs(av) <= M, av ** 2,
+                                2 * M * np.abs(av) - M * M)))
+    assert abs(obj - ref) < 1e-5 * max(1, ref)
+
+
+def test_huber_scalar_and_weighting():
+    x = ct.Variable(name='x')
+    p = ct.Parameter(name='p')
+    prob = ct.Problem(ct.Minimize(ct.huber(x, 2.0) + ct.multiply(p, x)))
+    p.value = 1.0
+    obj = prob.solve()
+    # d/dx huber(x,2) = 2x on |x|<=2 -> 2x + 1 = 0 -> x=-0.5, obj = .25-.5
+    assert abs(obj - (-0.25)) < 1e-5
+    assert abs(float(x.value) + 0.5) < 1e-4
