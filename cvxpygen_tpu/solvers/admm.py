@@ -123,19 +123,25 @@ def newton_schulz_inverse(M, iters, f32_iters=5):
     I2 = 2.0 * jnp.eye(n, dtype=dtype)
     fast = (jax.default_backend() == 'tpu' and dtype == jnp.float32)
 
-    def body_fast(_, X):
-        MX = jnp.einsum('bij,bjk->bik', M, X,
-                        precision=jax.lax.Precision.DEFAULT)
-        return jnp.einsum('bij,bjk->bik', X, I2 - MX,
-                          precision=jax.lax.Precision.DEFAULT)
-
     def body(_, X):
         MX = jnp.einsum('bij,bjk->bik', M, X)
         return jnp.einsum('bij,bjk->bik', X, I2 - MX)
 
     if fast and iters > f32_iters:
-        X = jax.lax.fori_loop(0, iters - f32_iters, body_fast, X)
-        return jax.lax.fori_loop(0, f32_iters, body, X)
+        # bulk phase in genuine bf16 storage+matmuls (HBM traffic and MXU
+        # passes both ~2x cheaper); bf16's 8-bit exponent keeps the doubling
+        # of tiny eigenvalues exact enough, and the f32 tail iterations
+        # contract the ~4e-3 bf16 plateau to f32 roundoff quadratically
+        Mb = M.astype(jnp.bfloat16)
+        I2b = I2.astype(jnp.bfloat16)
+
+        def body_fast(_, Xb):
+            MX = jnp.einsum('bij,bjk->bik', Mb, Xb)
+            return jnp.einsum('bij,bjk->bik', Xb, I2b - MX)
+
+        Xb = jax.lax.fori_loop(0, iters - f32_iters, body_fast,
+                               X.astype(jnp.bfloat16))
+        return jax.lax.fori_loop(0, f32_iters, body, Xb.astype(dtype))
     return jax.lax.fori_loop(0, iters, body, X)
 
 
@@ -151,7 +157,8 @@ def newton_schulz_warm(M, X0, iters):
     When X0 is already accurate the scale is ~1 and convergence stays
     quadratic."""
     n = M.shape[-1]
-    I2 = 2.0 * jnp.eye(n, dtype=M.dtype)
+    dtype = M.dtype
+    I2 = 2.0 * jnp.eye(n, dtype=dtype)
     MX0 = jnp.einsum('bij,bjk->bik', M, X0)
     ninf = jnp.max(jnp.sum(jnp.abs(MX0), axis=2), axis=1)
     X0 = X0 / jnp.maximum(ninf, 1.0)[:, None, None]
@@ -160,6 +167,19 @@ def newton_schulz_warm(M, X0, iters):
         MX = jnp.einsum('bij,bjk->bik', M, X)
         return jnp.einsum('bij,bjk->bik', X, I2 - MX)
 
+    f32_iters = 4
+    if jax.default_backend() == 'tpu' and dtype == jnp.float32 \
+            and iters > f32_iters:
+        Mb = M.astype(jnp.bfloat16)
+        I2b = I2.astype(jnp.bfloat16)
+
+        def body_fast(_, Xb):
+            MX = jnp.einsum('bij,bjk->bik', Mb, Xb)
+            return jnp.einsum('bij,bjk->bik', Xb, I2b - MX)
+
+        Xb = jax.lax.fori_loop(0, iters - f32_iters, body_fast,
+                               X0.astype(jnp.bfloat16))
+        return jax.lax.fori_loop(0, f32_iters, body, Xb.astype(dtype))
     return jax.lax.fori_loop(0, iters, body, X0)
 
 
