@@ -22,30 +22,59 @@ boundary -- verified numerically against finite differences.)
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
+from ..ops.cones import ConeLayout, svec_indices
 from ..runtime.jax_family import JaxFamily, canon_batch
 from ..solvers.ipm import IPMSettings, ipm_solve, _soc_slices
 
 
-def make_conic_diff_solve(jf: JaxFamily, settings: IPMSettings = None):
+def make_conic_diff_solve(jf: JaxFamily, settings=None):
     """Differentiable batched conic solve: theta (B,p) -> dict(x, y, obj).
-    y is the canonical dual [nu; z] (Family convention)."""
-    settings = settings or IPMSettings()
+    y is the canonical dual [nu; z] (Family convention).
+
+    Families with exp/PSD cones run the conic-ADMM forward (the only engine
+    with those cones); the backward pass is engine-independent (diffcp
+    sensitivity at the optimum)."""
     mz = jf.n_zero
     socs = jf.soc_dims
     l_nn = jf.n_nonneg
+    layout = ConeLayout(n_nonneg=l_nn, socs=tuple(socs),
+                        n_exp=jf.n_exp, psds=tuple(jf.psd_dims))
+    exotic = bool(jf.n_exp or jf.psd_dims)
 
-    def fwd_raw(theta):
-        data = canon_batch(jf, theta)
-        A, b = data['A'], data['b']
-        E, f = A[:, :mz], b[:, :mz]
-        G, h = A[:, mz:], b[:, mz:]
-        res = ipm_solve(data['P'], data['q'], E, f, G, h, l_nn, socs,
-                        settings)
-        res.update(P=data['P'], q=data['q'], E=E, G=G, d=data['d'])
-        return res
+    if exotic:
+        from ..solvers.conic_admm import (ConicADMMSettings,
+                                          conic_admm_solve)
+        settings = settings or ConicADMMSettings()
+
+        def fwd_raw(theta):
+            data = canon_batch(jf, theta)
+            A, b = data['A'], data['b']
+            res = conic_admm_solve(data['P'], data['q'], A, b, mz, layout,
+                                   settings)
+            y_canon = -res['y']
+            out = dict(x=res['x'], obj=res['obj'],
+                       nu=y_canon[:, :mz], z=y_canon[:, mz:],
+                       s=res['z'][:, mz:] + b[:, mz:],
+                       P=data['P'], q=data['q'],
+                       E=A[:, :mz], G=A[:, mz:], d=data['d'])
+            return out
+    else:
+        settings = settings or IPMSettings()
+
+        def fwd_raw(theta):
+            data = canon_batch(jf, theta)
+            A, b = data['A'], data['b']
+            E, f = A[:, :mz], b[:, :mz]
+            G, h = A[:, mz:], b[:, mz:]
+            res = ipm_solve(data['P'], data['q'], E, f, G, h, l_nn, socs,
+                            settings)
+            res.update(P=data['P'], q=data['q'], E=E, G=G, d=data['d'])
+            return res
 
     @jax.custom_vjp
     def solve(theta):
@@ -72,7 +101,7 @@ def make_conic_diff_solve(jf: JaxFamily, settings: IPMSettings = None):
         Px = jnp.einsum('bij,bj->bi', P, x)
         gx = gx + gobj[:, None] * (Px + q)
 
-        DP = _proj_jacobian(s - z, l_nn, socs, dtype)  # (B, mc, mc)
+        DP = _proj_jacobian(s - z, layout, dtype)  # (B, mc, mc)
         Gt = jnp.swapaxes(G, 1, 2)
         I_mc = jnp.eye(mc, dtype=dtype)
 
@@ -131,19 +160,23 @@ def make_conic_diff_solve(jf: JaxFamily, settings: IPMSettings = None):
     return solve
 
 
-def _proj_jacobian(u, l_nn, socs, dtype):
+def _proj_jacobian(u, layout: ConeLayout, dtype):
     """Derivative of Proj_K at u, block diagonal (B, mc, mc).
 
-    nonneg: diag(u > 0).  SOC (t, w): identity if ||w|| <= t; zero if
-    ||w|| <= -t; else the boundary formula
+    nonneg: diag(u > 0).
+    SOC (t, w): identity if ||w|| <= t; zero if ||w|| <= -t; else
         DP = 0.5 [[1, wb'], [wb, (1 + t/||w||) I - (t/||w||) wb wb']].
+    EXP: implicit differentiation of the boundary-projection KKT
+        (see _exp_proj_jacobian).
+    PSD (svec): Daleckii-Krein divided differences of ReLU on the spectrum.
     """
     B, mc = u.shape
     DP = jnp.zeros((B, mc, mc), dtype)
+    l_nn = layout.n_nonneg
     if l_nn:
         idx = jnp.arange(l_nn)
         DP = DP.at[:, idx, idx].set((u[:, :l_nn] > 0).astype(dtype))
-    for (o, d) in _soc_slices(l_nn, socs):
+    for (o, d) in _soc_slices(l_nn, layout.socs):
         t = u[:, o]
         w = u[:, o + 1:o + d]
         nw = jnp.linalg.norm(w, axis=1)
@@ -164,4 +197,106 @@ def _proj_jacobian(u, l_nn, socs, dtype):
         blk = jnp.where(interior[:, None, None], I_d, blk)
         blk = jnp.where(polar[:, None, None], jnp.zeros_like(blk), blk)
         DP = DP.at[:, o:o + d, o:o + d].set(blk)
+    off = l_nn + int(sum(layout.socs))
+    if layout.n_exp:
+        tri = u[:, off:off + 3 * layout.n_exp].reshape(B * layout.n_exp, 3)
+        blk = _exp_proj_jacobian(tri, dtype)  # (B*ne, 3, 3)
+        blk = blk.reshape(B, layout.n_exp, 3, 3)
+        for k in range(layout.n_exp):
+            o = off + 3 * k
+            DP = DP.at[:, o:o + 3, o:o + 3].set(blk[:, k])
+        off += 3 * layout.n_exp
+    for s_dim in layout.psds:
+        k = s_dim * (s_dim + 1) // 2
+        DP = DP.at[:, off:off + k, off:off + k].set(
+            _psd_proj_jacobian(u[:, off:off + k], s_dim, dtype))
+        off += k
     return DP
+
+
+def _exp_proj_jacobian(u, dtype):
+    """DProj_{K_exp}(u) for triples u (N, 3).
+
+    Boundary case by the implicit function theorem on the projection KKT
+    x - u + mu grad f(x) = 0, f(x) = x2 e^{x1/x2} - x3 = 0:
+        DP = S^-1 - (S^-1 g g' S^-1) / (g' S^-1 g),   S = I + mu H(x)
+    with g = grad f, H = hess f.  Interior -> I, polar -> 0, face cases ->
+    the diagonal mask of the face."""
+    from ..ops.cones import _proj_exp_block
+
+    N = u.shape[0]
+    x = _proj_exp_block(u)                      # (N, 3) projection
+    r, s_, t = u[:, 0], u[:, 1], u[:, 2]
+    x1, x2, x3 = x[:, 0], x[:, 1], x[:, 2]
+    mu = x3 - t                                 # multiplier >= 0
+
+    tol = 1e-7
+    nrm = jnp.maximum(jnp.linalg.norm(u, axis=1), 1e-30)
+    # same case analysis as the projection (ops/cones.py)
+    interior = jnp.linalg.norm(x - u, axis=1) <= tol * nrm
+    polar = jnp.linalg.norm(x, axis=1) <= tol * nrm
+    face = x2 <= tol * nrm                      # projection on the x2=0 face
+
+    x2s = jnp.maximum(x2, 1e-30)
+    alpha = x1 / x2s
+    ea = jnp.exp(jnp.clip(alpha, -60.0, 60.0))
+    g = jnp.stack([ea, ea * (1.0 - alpha), -jnp.ones_like(ea)], axis=1)
+    # hess f = (e^a / x2) [[1, -a, 0], [-a, a^2, 0], [0, 0, 0]]
+    hcoef = mu * ea / x2s
+    S = jnp.zeros((N, 3, 3), dtype)
+    S = S.at[:, 0, 0].set(1.0 + hcoef)
+    S = S.at[:, 0, 1].set(-hcoef * alpha)
+    S = S.at[:, 1, 0].set(-hcoef * alpha)
+    S = S.at[:, 1, 1].set(1.0 + hcoef * alpha * alpha)
+    S = S.at[:, 2, 2].set(1.0)
+    Sinv = jnp.linalg.inv(S)
+    Sg = jnp.einsum('nij,nj->ni', Sinv, g)
+    denom = jnp.maximum(jnp.einsum('ni,ni->n', g, Sg), 1e-30)
+    DP = Sinv - Sg[:, :, None] * Sg[:, None, :] / denom[:, None, None]
+
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3))
+    face_mask = jnp.stack([(x1 < -tol * nrm).astype(dtype),
+                           jnp.zeros((N,), dtype),
+                           (x3 > tol * nrm).astype(dtype)], axis=1)
+    DP_face = I3 * face_mask[:, :, None]
+    DP = jnp.where(face[:, None, None], DP_face, DP)
+    DP = jnp.where(polar[:, None, None], jnp.zeros_like(DP), DP)
+    DP = jnp.where(interior[:, None, None], I3, DP)
+    return DP
+
+
+def _psd_proj_jacobian(w, s_dim, dtype):
+    """DProj_{PSD}(w) in svec coordinates (B, k, k): Daleckii-Krein
+    formula DP[H] = Q (Gamma o (Q' H Q)) Q' with
+    Gamma_ij = relu-divided-differences of the spectrum."""
+    B = w.shape[0]
+    k = s_dim * (s_dim + 1) // 2
+    r, c, sc = svec_indices(s_dim)
+    scj = jnp.asarray(sc, dtype)
+    vals = w / scj
+    X = jnp.zeros((B, s_dim, s_dim), dtype)
+    X = X.at[:, r, c].set(vals)
+    X = X.at[:, c, r].set(vals)
+    lam, Q = jnp.linalg.eigh(X)
+    lp = jnp.maximum(lam, 0.0)
+    dl = lam[:, :, None] - lam[:, None, :]
+    same = jnp.abs(dl) <= 1e-10 * jnp.maximum(
+        1.0, jnp.abs(lam[:, :, None]) + jnp.abs(lam[:, None, :]))
+    gamma = jnp.where(same,
+                      jnp.where(lam[:, :, None] > 0, 1.0, 0.0),
+                      (lp[:, :, None] - lp[:, None, :])
+                      / jnp.where(same, 1.0, dl))
+    # svec basis tensor U (k, s, s), constant
+    U = np.zeros((k, s_dim, s_dim))
+    for a in range(k):
+        i, j, sa = r[a], c[a], sc[a]
+        U[a, i, j] += 1.0 / sa
+        if i != j:
+            U[a, j, i] += 1.0 / sa
+    Uj = jnp.asarray(U, dtype)
+    # columns of DP: svec( Q (gamma o (Q' U_a Q)) Q' )
+    T1 = jnp.einsum('bpi,apq,bqj->baij', Q, Uj, Q)
+    T2 = gamma[:, None] * T1
+    T3 = jnp.einsum('bip,bapq,bjq->baij', Q, T2, Q)
+    DP = T3[:, :, r, c] * scj[None, None, :]          # (B, a_col, row)
+    return jnp.swapaxes(DP, 1, 2)

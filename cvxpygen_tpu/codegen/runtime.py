@@ -153,16 +153,22 @@ class CpgRuntime:
         cpg_osqp_grad_compute.c.jinja2:432-531); conic families route
         through the projection-Jacobian diff (autodiff/conic_diff.py)."""
         fam = self.family
-        if fam.soc_dims:
+        exotic = bool(getattr(fam, 'n_exp', 0)
+                      or getattr(fam, 'psd_dims', ()))
+        if fam.soc_dims or exotic:
             import jax
             import jax.numpy as jnp
             from ..autodiff.conic_diff import make_conic_diff_solve
-            from ..solvers.ipm import IPMSettings
             if not hasattr(self, '_conic_diff'):
-                self._conic_diff = make_conic_diff_solve(
-                    self.solver.jf, IPMSettings(max_iter=100,
-                                                tol_feas=1e-10,
-                                                tol_gap=1e-10))
+                if exotic:
+                    from ..solvers.conic_admm import ConicADMMSettings
+                    stg = ConicADMMSettings(eps_abs=1e-8, eps_rel=1e-8,
+                                            max_iter=20000)
+                else:
+                    from ..solvers.ipm import IPMSettings
+                    stg = IPMSettings(max_iter=100, tol_feas=1e-10,
+                                      tol_gap=1e-10)
+                self._conic_diff = make_conic_diff_solve(self.solver.jf, stg)
             theta = jnp.asarray(self._ctx['theta'])[None, :]
             _, vjp = jax.vjp(self._conic_diff, theta)
             gxa = jnp.asarray(gx)[None, :]

@@ -128,20 +128,20 @@ def newton_schulz_inverse(M, iters, f32_iters=5):
         return jnp.einsum('bij,bjk->bik', X, I2 - MX)
 
     if fast and iters > f32_iters:
-        # bulk phase in genuine bf16 storage+matmuls (HBM traffic and MXU
-        # passes both ~2x cheaper); bf16's 8-bit exponent keeps the doubling
-        # of tiny eigenvalues exact enough, and the f32 tail iterations
-        # contract the ~4e-3 bf16 plateau to f32 roundoff quadratically
-        Mb = M.astype(jnp.bfloat16)
-        I2b = I2.astype(jnp.bfloat16)
+        # bulk phase with single-pass bf16 matmuls but f32 STORAGE and
+        # accumulation (Precision.DEFAULT): bf16 storage of the iterate was
+        # measured to kick ill-conditioned instances out of the NS basin
+        # (rounding noise x cond(M) > 1), while bf16 multiply passes with
+        # f32 iterates stay inside it; the f32-highest tail then contracts
+        # the ~1e-3 plateau to roundoff quadratically
+        def body_fast(_, X):
+            MX = jnp.einsum('bij,bjk->bik', M, X,
+                            precision=jax.lax.Precision.DEFAULT)
+            return jnp.einsum('bij,bjk->bik', X, I2 - MX,
+                              precision=jax.lax.Precision.DEFAULT)
 
-        def body_fast(_, Xb):
-            MX = jnp.einsum('bij,bjk->bik', Mb, Xb)
-            return jnp.einsum('bij,bjk->bik', Xb, I2b - MX)
-
-        Xb = jax.lax.fori_loop(0, iters - f32_iters, body_fast,
-                               X.astype(jnp.bfloat16))
-        return jax.lax.fori_loop(0, f32_iters, body, Xb.astype(dtype))
+        X = jax.lax.fori_loop(0, iters - f32_iters, body_fast, X)
+        return jax.lax.fori_loop(0, f32_iters, body, X)
     return jax.lax.fori_loop(0, iters, body, X)
 
 
@@ -170,16 +170,15 @@ def newton_schulz_warm(M, X0, iters):
     f32_iters = 4
     if jax.default_backend() == 'tpu' and dtype == jnp.float32 \
             and iters > f32_iters:
-        Mb = M.astype(jnp.bfloat16)
-        I2b = I2.astype(jnp.bfloat16)
+        # see newton_schulz_inverse: bf16 multiply passes, f32 storage
+        def body_fast(_, X):
+            MX = jnp.einsum('bij,bjk->bik', M, X,
+                            precision=jax.lax.Precision.DEFAULT)
+            return jnp.einsum('bij,bjk->bik', X, I2 - MX,
+                              precision=jax.lax.Precision.DEFAULT)
 
-        def body_fast(_, Xb):
-            MX = jnp.einsum('bij,bjk->bik', Mb, Xb)
-            return jnp.einsum('bij,bjk->bik', Xb, I2b - MX)
-
-        Xb = jax.lax.fori_loop(0, iters - f32_iters, body_fast,
-                               X0.astype(jnp.bfloat16))
-        return jax.lax.fori_loop(0, f32_iters, body, Xb.astype(dtype))
+        X0 = jax.lax.fori_loop(0, iters - f32_iters, body_fast, X0)
+        return jax.lax.fori_loop(0, f32_iters, body, X0)
     return jax.lax.fori_loop(0, iters, body, X0)
 
 
