@@ -37,16 +37,20 @@ _SQRT2 = math.sqrt(2.0)
 
 @dataclass(frozen=True)
 class ConeLayout:
-    """Static cone layout (hashable: usable as a jit static argument)."""
+    """Static cone layout (hashable: usable as a jit static argument).
+    Row groups in order: nonneg | SOC | EXP triples | PSD svec | POW triples
+    (pows = tuple of alpha exponents, one 3D power cone each)."""
     n_nonneg: int = 0
     socs: Tuple[int, ...] = ()
     n_exp: int = 0
     psds: Tuple[int, ...] = ()
+    pows: Tuple[float, ...] = ()
 
     @property
     def total(self) -> int:
         return (self.n_nonneg + int(sum(self.socs)) + 3 * self.n_exp
-                + int(sum(s * (s + 1) // 2 for s in self.psds)))
+                + int(sum(s * (s + 1) // 2 for s in self.psds))
+                + 3 * len(self.pows))
 
     @property
     def has_exp(self) -> bool:
@@ -72,6 +76,9 @@ class ConeLayout:
             k = s * (s + 1) // 2
             yield ('psd', off, k, s)
             off += k
+        for a in self.pows:
+            yield ('pow', off, 3, a)
+            off += 3
 
 
 def svec_indices(s: int):

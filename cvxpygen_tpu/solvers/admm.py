@@ -167,18 +167,11 @@ def newton_schulz_warm(M, X0, iters):
         MX = jnp.einsum('bij,bjk->bik', M, X)
         return jnp.einsum('bij,bjk->bik', X, I2 - MX)
 
-    f32_iters = 4
-    if jax.default_backend() == 'tpu' and dtype == jnp.float32 \
-            and iters > f32_iters:
-        # see newton_schulz_inverse: bf16 multiply passes, f32 storage
-        def body_fast(_, X):
-            MX = jnp.einsum('bij,bjk->bik', M, X,
-                            precision=jax.lax.Precision.DEFAULT)
-            return jnp.einsum('bij,bjk->bik', X, I2 - MX,
-                              precision=jax.lax.Precision.DEFAULT)
-
-        X0 = jax.lax.fori_loop(0, iters - f32_iters, body_fast, X0)
-        return jax.lax.fori_loop(0, f32_iters, body, X0)
+    # NOTE: keep the warm restart at full f32 precision.  A warm X0 is
+    # already near M^-1; bf16-pass iterations (as in the cold start's bulk
+    # phase) cannot contract below their ~4e-3 noise floor and instead
+    # INJECT noise that can leave the NS basin on ill-conditioned
+    # instances -- measured as a batch-wide convergence collapse.
     return jax.lax.fori_loop(0, iters, body, X0)
 
 
