@@ -16,7 +16,7 @@ Brand-new implementation of the capability set of cvxgrp/cvxpygen
 
 from .expressions import Constant, Parameter, Variable
 from .problem import Maximize, Minimize, Problem
-from .constraints import ExpCone, PSD, SOC
+from .constraints import ExpCone, PSD, PowCone3D, SOC
 from .atoms import (
     abs, diff, entr, exp, geo_mean, huber, inv_pos, kl_div, lambda_max,
     lambda_min, log, log_sum_exp, logistic, maximum, minimum, multiply, neg,
@@ -26,7 +26,8 @@ from .atoms import (
 
 __all__ = [
     'Variable', 'Parameter', 'Constant', 'Problem', 'Minimize', 'Maximize',
-    'SOC', 'ExpCone', 'PSD', 'abs', 'diff', 'entr', 'exp', 'geo_mean',
+    'SOC', 'ExpCone', 'PSD', 'PowCone3D', 'abs', 'diff', 'entr', 'exp',
+    'geo_mean',
     'huber', 'inv_pos', 'kl_div', 'lambda_max', 'lambda_min', 'log',
     'log_sum_exp',
     'logistic', 'maximum', 'minimum', 'multiply', 'neg', 'norm', 'norm1',

@@ -562,8 +562,36 @@ class InvPos(Atom):
         return 1.0 / np.asarray(values[0], dtype=float)
 
 
+class Power(Atom):
+    """Elementwise x^p via the 3D power cone (canon/lowering.py):
+    p in (0,1): concave increasing; p > 1 or p < 0: convex (x >= 0
+    implied, as in cvxpy's power)."""
+
+    def __init__(self, x, p):
+        self.p = float(p)
+        assert self.p not in (0.0, 1.0)
+        super().__init__(x)
+
+    def _shape_from_args(self):
+        return self.args[0].shape
+
+    def curvature(self):
+        if 0 < self.p < 1:
+            return _monotone_curv(self.args[0], CONCAVE, increasing=True)
+        if self.p > 1:
+            return _affine_arg_curv(self.args[0], CONVEX)
+        return _monotone_curv(self.args[0], CONVEX, increasing=False)
+
+    def sign(self):
+        return SIGN_POS
+
+    def numeric(self, values):
+        return np.asarray(values[0], dtype=float) ** self.p
+
+
 def _power_atom(x, p):
-    """cp.power parity for the p values the SOC lowering covers."""
+    """cp.power parity: special-cased p (affine/QP/SOC lowerings), general
+    real p via the 3D power cone."""
     p = float(p)
     if p == 1.0:
         return to_expr(x)
@@ -573,9 +601,9 @@ def _power_atom(x, p):
         return Sqrt(x)
     if p == -1.0:
         return InvPos(x)
-    raise NotImplementedError(
-        f'power p={p}: supported p are 1, 2, 0.5, -1 '
-        '(general rational powers via pow-cone: future work)')
+    if p == 0.0:
+        raise ValueError('power p=0 is constant 1')
+    return Power(x, p)
 
 
 # ---------------------------------------------------------------------------

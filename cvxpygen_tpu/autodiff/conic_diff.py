@@ -43,7 +43,11 @@ def make_conic_diff_solve(jf: JaxFamily, settings=None):
     socs = jf.soc_dims
     l_nn = jf.n_nonneg
     layout = ConeLayout(n_nonneg=l_nn, socs=tuple(socs),
-                        n_exp=jf.n_exp, psds=tuple(jf.psd_dims))
+                        n_exp=jf.n_exp, psds=tuple(jf.psd_dims),
+                        pows=tuple(getattr(jf, 'pow_alphas', ()) or ()))
+    if layout.pows:
+        raise NotImplementedError(
+            'pow-cone projection Jacobian not implemented yet')
     exotic = bool(jf.n_exp or jf.psd_dims)
 
     if exotic:

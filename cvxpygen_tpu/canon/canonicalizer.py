@@ -84,10 +84,12 @@ class Family:
     # theta-QUADRATIC objective offset (p1, p1); affects only the reported
     # objective value, never the minimizer (see paraff.Quad.d_quad)
     d_quad: Optional[spa.csr_matrix] = None
-    # exponential cones (3 rows each, after soc rows) and PSD blocks
-    # (svec rows, s(s+1)/2 each, after exp rows)
+    # exponential cones (3 rows each, after soc rows), PSD blocks
+    # (svec rows, s(s+1)/2 each, after exp rows), and 3D power cones
+    # (3 rows each, after psd rows; one alpha per cone)
     n_exp: int = 0
     psd_dims: List[int] = field(default_factory=list)
+    pow_alphas: List[float] = field(default_factory=list)
 
     # ------------------------------------------------------------------
     @property
@@ -167,7 +169,7 @@ class Family:
         """OSQP-style box: l <= A x <= u derived from aff = A x + b groups
         (zero rows: equality; nonneg rows: A x >= -b)."""
         mz, mn = self.n_zero, self.n_nonneg
-        if self.soc_dims or self.n_exp or self.psd_dims:
+        if self.soc_dims or self.n_exp or self.psd_dims or self.pow_alphas:
             raise ValueError('QP form unavailable: problem has cones')
         l = np.concatenate([-b[:mz], -b[mz:mz + mn]])
         u = np.concatenate([-b[:mz], np.full(mn, np.inf)])
@@ -264,8 +266,10 @@ def canonicalize(problem: Problem) -> Family:
     soc_dims = [t.size + x.size for (t, x) in prog.socs]
     n_exp = len(prog.exps)
     psd_dims = [s for (_, s) in prog.psds]
+    pow_alphas = [a for (_, _, _, a) in prog.pows]
     m = (n_zero + n_nonneg + int(sum(soc_dims)) + 3 * n_exp
-         + int(sum(s * (s + 1) // 2 for s in psd_dims)))
+         + int(sum(s * (s + 1) // 2 for s in psd_dims))
+         + 3 * len(pow_alphas))
 
     Ai, Aj, Amaps = [], [], []
     b_blocks = []
@@ -302,6 +306,10 @@ def canonicalize(problem: Problem) -> Family:
         r = emit_aff(z_aff, r)
     for (svec_aff, _) in prog.psds:
         r = emit_aff(svec_aff, r)
+    for (x_aff, y_aff, z_aff, _) in prog.pows:
+        r = emit_aff(x_aff, r)
+        r = emit_aff(y_aff, r)
+        r = emit_aff(z_aff, r)
     assert r == m
 
     if Ai:
@@ -324,7 +332,7 @@ def canonicalize(problem: Problem) -> Family:
         is_maximization=problem.objective.is_maximization,
         P_idx=P_idx, P_map=P_map, q_map=q_map, d_map=d_map,
         m=m, n_zero=n_zero, n_nonneg=n_nonneg, soc_dims=soc_dims,
-        n_exp=n_exp, psd_dims=psd_dims,
+        n_exp=n_exp, psd_dims=psd_dims, pow_alphas=pow_alphas,
         A_idx=A_idx, A_map=A_map, b_map=b_map,
         constr_records=prog.constr_records,
         d_quad=(quad.d_quad if quad.d_quad is not None
@@ -369,7 +377,19 @@ def retrieve_duals(family: Family, y):
     for s in getattr(family, 'psd_dims', ()) or ():
         psd_row_starts.append(base)
         base += s * (s + 1) // 2
+    pow_row_start = base  # pow triples follow the psd rows
     for rec in family.constr_records:
+        if rec['kind'] == 'pow':
+            r0 = pow_row_start + 3 * rec['cone_start']
+            tri = y[r0:r0 + 3 * rec['n_cones']].reshape(-1, 3)
+            shape = rec['shape']
+            comps = []
+            for j in range(3):
+                v = tri[:, j]
+                comps.append(v.reshape(shape, order='F') if shape
+                             else float(v[0]))
+            duals.append(comps)
+            continue
         if rec['kind'] == 'psd':
             from ..ops.cones import unsvec_np
             s = rec['s']

@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 from .. import atoms as at
-from ..constraints import Equality, ExpCone, Inequality, PSD, SOC
+from ..constraints import (Equality, ExpCone, Inequality, PSD, PowCone3D,
+                           SOC)
 from ..expressions import (
     AddExpression, Constant, Expression, Index, MatMul, Multiply, Negate,
     Parameter, Promote, Reshape, Transpose, Variable, _next_id,
@@ -46,6 +47,7 @@ class ConeProgram:
         self.socs = []       # list[(t Aff scalar, x Aff vector)]
         self.exps = []       # list[(x, y, z) scalar Affs]: triple in K_exp
         self.psds = []       # list[(svec Aff, s)]: svec block in PSD cone
+        self.pows = []       # list[(x, y, z, alpha)]: triple in K_alpha
         self.n_zero = 0
         self.n_nonneg = 0
         self.constr_records = []  # per user constraint
@@ -77,6 +79,11 @@ class ConeProgram:
         assert svec_aff.size == s * (s + 1) // 2
         self.psds.append((svec_aff, s))
         return len(self.psds) - 1
+
+    def add_pow(self, x_aff, y_aff, z_aff, alpha):
+        assert x_aff.size == y_aff.size == z_aff.size == 1
+        self.pows.append((x_aff, y_aff, z_aff, float(alpha)))
+        return len(self.pows) - 1
 
 
 class Lowering:
@@ -176,6 +183,18 @@ class Lowering:
                              pa.index_select(zl, [k], ()))
             prog.constr_records.append(
                 dict(kind='exp', cone_start=idx0, n_cones=con.n_cones,
+                     shape=con.shape))
+        elif isinstance(con, PowCone3D):
+            xl = self.lower(con.x)
+            yl = self.lower(con.y)
+            zl = self.lower(con.z)
+            idx0 = len(prog.pows)
+            for k in range(con.n_cones):
+                prog.add_pow(pa.index_select(xl, [k], ()),
+                             pa.index_select(yl, [k], ()),
+                             pa.index_select(zl, [k], ()), con.alpha)
+            prog.constr_records.append(
+                dict(kind='pow', cone_start=idx0, n_cones=con.n_cones,
                      shape=con.shape))
         elif isinstance(con, PSD):
             el = self.lower(con.expr)
@@ -279,6 +298,8 @@ class Lowering:
             return self._epi_lambda_max(e)
         if isinstance(e, at.LambdaMin):
             return self._hypo_lambda_min(e)
+        if isinstance(e, at.Power):
+            return self._pow_atom(e)
         if isinstance(e, at.Sqrt):
             return self._hypo_sqrt(e)
         if isinstance(e, at.GeoMean):
@@ -385,6 +406,26 @@ class Lowering:
             xi = pa.index_select(el, sel, (len(sel),))
             ti = pa.index_select(t, [i], ())
             self.prog.add_soc(ti, xi)
+        return t
+
+    # -- power-cone graph implementation ---------------------------------
+    def _pow_atom(self, e):
+        """x^p via K_alpha (elementwise):
+        0<p<1 (hypograph):  t <= x^p        <=> (x, 1, t) in K_p
+        p>1   (epigraph):   t >= |x|^p      <=> (t, 1, x) in K_{1/p}
+        p<0   (epigraph):   t >= x^p (x>0)  <=> (x, t, 1) in K_{-p/(1-p)}
+        """
+        el = self.lower(e.args[0])
+        t = self.aux(e.shape)
+        one = self._one()
+        p = e.p
+        for xk, tk in zip(self._elems(el), self._elems(t)):
+            if 0 < p < 1:
+                self.prog.add_pow(xk, one, tk, p)
+            elif p > 1:
+                self.prog.add_pow(tk, one, xk, 1.0 / p)
+            else:
+                self.prog.add_pow(xk, tk, one, -p / (1.0 - p))
         return t
 
     # -- rotated-SOC (hyperbolic) graph implementations ------------------

@@ -157,6 +157,46 @@ class PSD(Constraint):
         return f'PSD(shape={self.shape})'
 
 
+class PowCone3D(Constraint):
+    """3D power-cone constraint: (x_i, y_i, z_i) in K_alpha elementwise,
+    K_alpha = {(x, y, z): x^alpha y^(1-alpha) >= |z|, x, y >= 0}.
+
+    Parity: cvxpy.constraints.PowCone3D, the cone the reference supports
+    through Clarabel ('PowerConeT', cvxpygen/solvers/clarabel.py:148-154).
+    """
+
+    def __init__(self, x, y, z, alpha):
+        super().__init__([x, y, z])
+        self.x, self.y, self.z = self.args
+        self.alpha = float(alpha)
+        if not (0.0 < self.alpha < 1.0):
+            raise ValueError('PowCone3D alpha must be in (0, 1)')
+        if not all(a.is_affine() for a in self.args):
+            raise ValueError('PowCone3D arguments must be affine')
+        if not (self.x.shape == self.y.shape == self.z.shape):
+            raise ValueError('PowCone3D arguments must share one shape')
+        self.shape = self.x.shape
+        self.n_cones = self.x.size
+
+    @property
+    def size(self):
+        return 3 * self.n_cones
+
+    def violation(self):
+        from .ops.cones import _proj_pow_np
+        xv = np.ravel(np.asarray(self.x.value, dtype=float), order='F')
+        yv = np.ravel(np.asarray(self.y.value, dtype=float), order='F')
+        zv = np.ravel(np.asarray(self.z.value, dtype=float), order='F')
+        out = np.zeros(self.n_cones)
+        for k in range(self.n_cones):
+            v = np.array([xv[k], yv[k], zv[k]])
+            out[k] = np.linalg.norm(v - _proj_pow_np(v, self.alpha))
+        return out.reshape(self.shape) if self.shape else float(out[0])
+
+    def __repr__(self):
+        return f'PowCone3D(alpha={self.alpha}, n_cones={self.n_cones})'
+
+
 class ExpCone(Constraint):
     """Exponential-cone constraint: (x_i, y_i, z_i) in K_exp elementwise,
     K_exp = cl{(x, y, z): y > 0, y e^{x/y} <= z}.

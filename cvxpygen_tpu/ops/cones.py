@@ -223,6 +223,63 @@ def _proj_exp_block(v, n_iter=64):
     return out * nrm
 
 
+def _proj_pow_block(v, a, n_iter=60):
+    """v (..., 3) -> projection onto the 3D power cone
+    K_a = {(x, y, z): x^a y^(1-a) >= |z|, x, y >= 0}   (0 < a < 1).
+
+    Hien ("Differential properties of Euclidean projection onto power
+    cone", 2015): for v outside K_a and its polar with v3 != 0, the
+    projection is x = (x1(r), x2(r), sign(v3) r) with
+        x_i(r) = (v_i + sqrt(v_i^2 + 4 a_i r(|v3| - r))) / 2
+    and r in (0, |v3|) the root of Phi(r) = x1^a x2^(1-a) - r
+    (bisection: Phi >= 0 at 0+, < 0 at |v3|).
+    """
+    import jax.numpy as jnp
+    r0, s0, t0 = v[..., 0], v[..., 1], v[..., 2]
+    at = jnp.abs(t0)
+    tol = 1e-9
+
+    def powa(x, y):
+        # x^a y^(1-a) with clamping for x, y >= 0
+        xs = jnp.maximum(x, 0.0)
+        ys = jnp.maximum(y, 0.0)
+        return xs ** a * ys ** (1.0 - a)
+
+    in_K = (r0 >= -tol) & (s0 >= -tol) & (powa(r0, s0) >= at - tol)
+    # polar = -K*; K* = {(u,v,w): (u/a)^a (v/(1-a))^(1-a) >= |w|, u,v >= 0}
+    in_polar = (r0 <= tol) & (s0 <= tol) \
+        & (powa(-r0 / a, -s0 / (1.0 - a)) >= at - tol)
+    degenerate = at <= tol  # v3 ~ 0: projection is (v1+, v2+, 0)
+
+    def xi(vi, ai, rr):
+        return 0.5 * (vi + jnp.sqrt(vi * vi + 4.0 * ai * rr * (at - rr)))
+
+    def phi(rr):
+        return powa(xi(r0, a, rr), xi(s0, 1.0 - a, rr)) - rr
+
+    lo = jnp.full_like(at, 1e-12) * jnp.maximum(at, 1.0)
+    hi = at * (1.0 - 1e-7)
+
+    def body(_, ab):
+        aa, bb = ab
+        mid = 0.5 * (aa + bb)
+        pos = phi(mid) >= 0
+        return (jnp.where(pos, mid, aa), jnp.where(pos, bb, mid))
+
+    import jax
+    aa, bb = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    rr = 0.5 * (aa + bb)
+    x = jnp.stack([xi(r0, a, rr), xi(s0, 1.0 - a, rr),
+                   jnp.sign(t0) * rr], axis=-1)
+
+    face = jnp.stack([jnp.maximum(r0, 0.0), jnp.maximum(s0, 0.0),
+                      jnp.zeros_like(t0)], axis=-1)
+    out = jnp.where(degenerate[..., None], face, x)
+    out = jnp.where(in_polar[..., None], jnp.zeros_like(out), out)
+    out = jnp.where(in_K[..., None], v, out)
+    return out
+
+
 def _proj_psd_block(w, s):
     """w (..., s(s+1)/2) svec -> projection onto the PSD cone (eigh)."""
     import jax.numpy as jnp
@@ -252,8 +309,10 @@ def project_cone(v, layout: ConeLayout):
             B = blk.shape[0]
             tri = blk.reshape(B, extra, 3)
             parts.append(_proj_exp_block(tri).reshape(B, length))
-        else:  # psd
+        elif kind == 'psd':
             parts.append(_proj_psd_block(blk, extra))
+        else:  # pow
+            parts.append(_proj_pow_block(blk, extra))
     if not parts:
         return v[:, :0]
     return jnp.concatenate(parts, axis=1)
@@ -348,6 +407,41 @@ def _proj_exp_np(v, n_iter=90):
     return x * nrm
 
 
+def _proj_pow_np(v, a, n_iter=90):
+    v = np.asarray(v, dtype=np.float64)
+    r0, s0, t0 = v
+    at = abs(t0)
+    tol = 1e-12
+
+    def powa(x, y):
+        return max(x, 0.0) ** a * max(y, 0.0) ** (1.0 - a)
+
+    if r0 >= -tol and s0 >= -tol and powa(r0, s0) >= at - tol:
+        return v.copy()
+    if r0 <= tol and s0 <= tol and \
+            powa(-r0 / a, -s0 / (1.0 - a)) >= at - tol:
+        return np.zeros(3)
+    if at <= tol:
+        return np.array([max(r0, 0.0), max(s0, 0.0), 0.0])
+
+    def xi(vi, ai, rr):
+        return 0.5 * (vi + math.sqrt(vi * vi + 4.0 * ai * rr * (at - rr)))
+
+    def phi(rr):
+        return powa(xi(r0, a, rr), xi(s0, 1.0 - a, rr)) - rr
+
+    aa, bb = 1e-14 * max(at, 1.0), at * (1.0 - 1e-9)
+    for _ in range(n_iter):
+        mid = 0.5 * (aa + bb)
+        if phi(mid) >= 0:
+            aa = mid
+        else:
+            bb = mid
+    rr = 0.5 * (aa + bb)
+    return np.array([xi(r0, a, rr), xi(s0, 1.0 - a, rr),
+                     math.copysign(rr, t0)])
+
+
 def _proj_psd_np(w, s):
     X = unsvec_np(w, s)
     lam, Q = np.linalg.eigh(X)
@@ -370,8 +464,10 @@ def project_cone_np(v, layout: ConeLayout):
             for k in range(extra):
                 out[off + 3 * k:off + 3 * k + 3] = _proj_exp_np(
                     blk[3 * k:3 * k + 3])
-        else:
+        elif kind == 'psd':
             out[off:off + length] = _proj_psd_np(blk, extra)
+        else:
+            out[off:off + length] = _proj_pow_np(blk, extra)
     return out
 
 

@@ -49,20 +49,23 @@ class JaxFamily:
     nA: int = 0
     n_exp: int = 0
     psd_dims: tuple = ()
+    pow_alphas: tuple = ()
 
     def tree_flatten(self):
         leaves = (self.maps, self.d_quad, self.P_ij, self.A_ij)
         aux = (self.n, self.m, self.p, self.n_zero, self.n_nonneg,
                self.soc_dims, self.is_maximization, self.dense_mode,
-               self.nP, self.nA, self.n_exp, self.psd_dims)
+               self.nP, self.nA, self.n_exp, self.psd_dims,
+               self.pow_alphas)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         maps, d_quad, P_ij, A_ij = leaves
-        n, m, p, nz, nn, soc, ismax, dense, nP, nA, n_exp, psd = aux
+        (n, m, p, nz, nn, soc, ismax, dense, nP, nA, n_exp, psd,
+         pows) = aux
         return cls(n, m, p, nz, nn, soc, ismax, maps, d_quad, P_ij, A_ij,
-                   dense, nP, nA, n_exp, psd)
+                   dense, nP, nA, n_exp, psd, pows)
 
     # ------------------------------------------------------------------
     DENSE_LIMIT = 3e7  # max dense-map entries (~120MB f32)
@@ -93,7 +96,8 @@ class JaxFamily:
                 is_maximization=fam.is_maximization,
                 maps=jnp.asarray(stacked, dtype=dtype), d_quad=d_quad,
                 dense_mode=True, n_exp=getattr(fam, 'n_exp', 0),
-                psd_dims=tuple(getattr(fam, 'psd_dims', ()) or ()))
+                psd_dims=tuple(getattr(fam, 'psd_dims', ()) or ()),
+                pow_alphas=tuple(getattr(fam, 'pow_alphas', ()) or ()))
         # scatter layout for large families: map rows only for nonzeros
         stacked = np.vstack([
             fam.P_map.toarray(), fam.q_map.toarray(), fam.d_map.toarray(),
@@ -107,7 +111,8 @@ class JaxFamily:
             A_ij=jnp.asarray(np.stack(fam.A_idx, 1), jnp.int32),
             dense_mode=False, nP=len(fam.P_idx[0]), nA=len(fam.A_idx[0]),
             n_exp=getattr(fam, 'n_exp', 0),
-            psd_dims=tuple(getattr(fam, 'psd_dims', ()) or ()))
+            psd_dims=tuple(getattr(fam, 'psd_dims', ()) or ()),
+            pow_alphas=tuple(getattr(fam, 'pow_alphas', ()) or ()))
 
 
 def _expand_rows(map_csr, idx, total_rows, n):
@@ -153,7 +158,7 @@ def canon_batch(jf: JaxFamily, theta):
 def qp_bounds_batch(jf: JaxFamily, b):
     """OSQP-style box (l, u) from the aff-convention offsets b (B, m):
     zero rows: l = u = -b; nonneg rows: -b <= A x <= +inf."""
-    if jf.soc_dims or jf.n_exp or jf.psd_dims:
+    if jf.soc_dims or jf.n_exp or jf.psd_dims or jf.pow_alphas:
         raise ValueError('QP form unavailable: family has cones')
     mz = jf.n_zero
     l = -b

@@ -155,7 +155,8 @@ class CompiledConicADMMSolver:
         layout = ConeLayout(
             n_nonneg=family.n_nonneg, socs=tuple(family.soc_dims),
             n_exp=getattr(family, 'n_exp', 0),
-            psds=tuple(getattr(family, 'psd_dims', ()) or ()))
+            psds=tuple(getattr(family, 'psd_dims', ()) or ()),
+            pows=tuple(getattr(family, 'pow_alphas', ()) or ()))
 
         def raw(jf, theta, x0, y0, settings):
             data = canon_batch(jf, theta)
@@ -185,7 +186,8 @@ def make_compiled_solver(family: Family, solver='ADMM', settings=None,
     with those cones, as in the reference only some solvers accept them)."""
     name = (solver or 'ADMM').upper()
     has_exotic = bool(getattr(family, 'n_exp', 0)
-                      or getattr(family, 'psd_dims', ()))
+                      or getattr(family, 'psd_dims', ())
+                      or getattr(family, 'pow_alphas', ()))
     if name in ('ADMM', 'OSQP') and not (family.soc_dims or has_exotic):
         return CompiledQPSolver(family, settings=settings, dtype=dtype)
     if name in ('ADMM', 'OSQP'):

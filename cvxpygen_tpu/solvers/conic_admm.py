@@ -72,6 +72,9 @@ def _cone_row_blocks(n_zero: int, layout: ConeLayout):
         k = s * (s + 1) // 2
         blocks.append((off, k))
         off += k
+    for _ in layout.pows:
+        blocks.append((off, 3))
+        off += 3
     return blocks
 
 

@@ -384,11 +384,12 @@ def solve_family_numpy(family, theta, **kwargs):
     mz = family.n_zero
     n_exp = getattr(family, 'n_exp', 0)
     psd_dims = tuple(getattr(family, 'psd_dims', ()) or ())
-    if n_exp or psd_dims:
+    pow_alphas = tuple(getattr(family, 'pow_alphas', ()) or ())
+    if n_exp or psd_dims or pow_alphas:
         from ..ops.cones import ConeLayout
         layout = ConeLayout(n_nonneg=family.n_nonneg,
                             socs=tuple(family.soc_dims),
-                            n_exp=n_exp, psds=psd_dims)
+                            n_exp=n_exp, psds=psd_dims, pows=pow_alphas)
         kw = {k: v for k, v in kwargs.items() if k in ('tol', 'max_iter')}
         res = solve_conic_admm_np(P, q, A, b, mz, layout, **kw)
         y = np.concatenate([res.nu, res.z]) if family.m else np.zeros(0)

@@ -76,8 +76,10 @@ def test_power_dispatch():
     assert type(ct.power(x, 2)).__name__ == 'Square'
     assert type(ct.power(x, 0.5)).__name__ == 'Sqrt'
     assert type(ct.power(x, -1)).__name__ == 'InvPos'
-    with pytest.raises(NotImplementedError):
-        ct.power(x, 0.3)
+    assert type(ct.power(x, 0.3)).__name__ == 'Power'  # pow cone
+    assert type(ct.power(x, 3.0)).__name__ == 'Power'
+    with pytest.raises(ValueError):
+        ct.power(x, 0)
 
 
 def test_sqrt_batched_compiled():
