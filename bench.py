@@ -54,7 +54,10 @@ def main():
     # opts out.
     use_pallas = 'never' if os.environ.get('BENCH_PALLAS') == '0' else 'auto'
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
-                      check_interval=25, use_pallas=use_pallas,
+                      check_interval=int(os.environ.get('BENCH_CHECK', '25')),
+                      ns_iters=int(os.environ.get('BENCH_NS', '30')),
+                      scaling=int(os.environ.get('BENCH_SCALING', '10')),
+                      use_pallas=use_pallas,
                       adaptive_rho=True)
 
     @jax.jit

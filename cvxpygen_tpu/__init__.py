@@ -19,7 +19,8 @@ from .problem import Maximize, Minimize, Problem
 from .constraints import ExpCone, PSD, PowCone3D, SOC
 from .atoms import (
     abs, diff, entr, exp, geo_mean, huber, inv_pos, kl_div, lambda_max,
-    lambda_min, log, log_sum_exp, logistic, maximum, minimum, multiply, neg,
+    lambda_min, log, log_det, log_sum_exp, logistic, maximum, minimum,
+    multiply, neg,
     norm, norm1, norm2, norm_inf, pos, power, quad_form, quad_over_lin,
     rel_entr, reshape, sqrt, square, sum, sum_squares, trace, vec,
 )
@@ -29,7 +30,7 @@ __all__ = [
     'SOC', 'ExpCone', 'PSD', 'PowCone3D', 'abs', 'diff', 'entr', 'exp',
     'geo_mean',
     'huber', 'inv_pos', 'kl_div', 'lambda_max', 'lambda_min', 'log',
-    'log_sum_exp',
+    'log_det', 'log_sum_exp',
     'logistic', 'maximum', 'minimum', 'multiply', 'neg', 'norm', 'norm1',
     'norm2', 'norm_inf', 'pos', 'power', 'quad_form', 'quad_over_lin',
     'rel_entr', 'reshape', 'sqrt', 'square', 'sum', 'sum_squares', 'trace',

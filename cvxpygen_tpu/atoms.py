@@ -628,6 +628,27 @@ class LambdaMax(Atom):
         return float(np.linalg.eigvalsh(0.5 * (X + X.T)).max())
 
 
+class LogDet(Atom):
+    """log det(X) for PSD X (concave; affine arg).  Lowered via the
+    standard SDP+exp representation (canon/lowering.py _hypo_log_det):
+    t <= log det X  <=>  exists lower-triangular Z with
+    [[X, Z], [Z', diag(Z)]] >> 0 and t <= sum_i log(Z_ii)."""
+
+    def _shape_from_args(self):
+        x = self.args[0]
+        if x.ndim != 2 or x.shape[0] != x.shape[1]:
+            raise ValueError('log_det requires a square matrix')
+        return ()
+
+    def curvature(self):
+        return _affine_arg_curv(self.args[0], CONCAVE)
+
+    def numeric(self, values):
+        X = np.asarray(values[0], dtype=float)
+        sign, logdet = np.linalg.slogdet(0.5 * (X + X.T))
+        return logdet if sign > 0 else -np.inf
+
+
 class LambdaMin(Atom):
     """Smallest eigenvalue of a symmetric matrix (concave; affine arg)."""
 
@@ -756,6 +777,10 @@ def lambda_max(x):
 
 def lambda_min(x):
     return LambdaMin(x)
+
+
+def log_det(x):
+    return LogDet(x)
 
 
 def sqrt(x):

@@ -298,6 +298,8 @@ class Lowering:
             return self._epi_lambda_max(e)
         if isinstance(e, at.LambdaMin):
             return self._hypo_lambda_min(e)
+        if isinstance(e, at.LogDet):
+            return self._hypo_log_det(e)
         if isinstance(e, at.Power):
             return self._pow_atom(e)
         if isinstance(e, at.Sqrt):
@@ -523,6 +525,55 @@ class Lowering:
         T = spa.coo_matrix((np.ones(s), (idx, np.zeros(s, dtype=int))),
                            shape=(s * s, 1)).tocsr()
         return pa.apply_linear(T, t, (s, s))
+
+    def _hypo_log_det(self, e):
+        """t <= log det X via (MOSEK cookbook sec. 6.2.3):
+        exists Z lower triangular:
+            [[X, Z], [Z', diag(Z)]] >> 0,  t = sum_i log(Z_ii).
+        Combines one PSD block (2s x 2s) with s exp cones (log hypographs)."""
+        import scipy.sparse as spa
+        el = self.lower(e.args[0])
+        s = e.args[0].shape[0]
+        Z = self.aux((s, s))
+        # strictly-upper entries of Z forced to 0 (Z lower triangular)
+        up = [i + s * j for j in range(s) for i in range(j)]
+        if up:
+            self.prog.add_zero(pa.index_select(Z, up, (len(up),)))
+
+        # assemble M = [[X, Z], [Z', diag(Z)]] as a (2s, 2s) Aff
+        n2 = 2 * s
+
+        def place(src_idx, dst_idx, n_src):
+            return spa.coo_matrix(
+                (np.ones(len(src_idx)), (dst_idx, src_idx)),
+                shape=(n2 * n2, n_src)).tocsr()
+
+        # X block at (0:s, 0:s): dst i + n2*j from src i + s*j
+        src = np.arange(s * s)
+        i_s, j_s = src % s, src // s
+        T_X = place(src, i_s + n2 * j_s, s * s)
+        # Z at (0:s, s:2s): dst i + n2*(s+j)
+        T_Ztr = place(src, i_s + n2 * (s + j_s), s * s)
+        # Z' at (s:2s, 0:s): dst (s+j) + n2*i  from Z[i,j] (note transpose)
+        T_Zbl = place(src, (s + j_s) + n2 * i_s, s * s)
+        # diag(Z) at (s+i, s+i): dst (s+i) + n2*(s+i) from Z[i,i]
+        di = np.arange(s)
+        T_Zd = place(di + s * di, (s + di) + n2 * (s + di), s * s)
+
+        M = pa.apply_linear(T_X, pa.reshape(el, (s * s,)), (n2, n2))
+        Zf = pa.reshape(Z, (s * s,))
+        M = pa.add(M, pa.apply_linear(T_Ztr, Zf, (n2, n2)))
+        M = pa.add(M, pa.apply_linear(T_Zbl, Zf, (n2, n2)))
+        M = pa.add(M, pa.apply_linear(T_Zd, Zf, (n2, n2)))
+        self.prog.add_psd(self._svec_aff(M, n2), n2)
+
+        # t_i <= log(Z_ii); return sum t
+        dz = pa.index_select(Z, list(di + s * di), (s,))
+        t = self.aux((s,))
+        one = self._one()
+        for tk, zk in zip(self._elems(t), self._elems(dz)):
+            self.prog.add_exp(tk, one, zk)
+        return pa.sum_all(t)
 
     def _epi_lambda_max(self, e):
         """t >= lambda_max(X)  <=>  t I - X >> 0."""

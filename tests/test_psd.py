@@ -131,3 +131,32 @@ def test_psd_rejects_nonsquare():
     X = ct.Variable((2, 3), name='X')
     with pytest.raises(ValueError):
         X >> 0
+
+
+def test_log_det_analytic():
+    """max log_det(X) s.t. trace(X) == p, X PSD  ->  X = (p/s) I."""
+    s = 3
+    X = ct.Variable((s, s), name='X', PSD=True)
+    p = ct.Parameter(name='p')
+    prob = ct.Problem(ct.Maximize(ct.log_det(X)), [ct.trace(X) == p])
+    p.value = 6.0
+    obj = prob.solve()
+    ref = s * np.log(6.0 / s)
+    assert abs(obj - ref) < 1e-3 * max(1, abs(ref))
+    assert np.allclose(X.value, 2.0 * np.eye(s), atol=5e-3)
+
+
+def test_log_det_parametrized_offset():
+    """max log_det(X + A) s.t. trace(X) == p with A = a I: the shift adds
+    to each eigenvalue -> X + A = ((p + s a)/s) I at the optimum."""
+    s = 3
+    X = ct.Variable((s, s), name='X', symmetric=True)
+    A = ct.Parameter((s, s), name='A')
+    p = ct.Parameter(name='p')
+    prob = ct.Problem(ct.Maximize(ct.log_det(X + A)), [ct.trace(X) == p])
+    a = 0.5
+    A.value = a * np.eye(s)
+    p.value = 3.0
+    obj = prob.solve()
+    ref = s * np.log((3.0 + s * a) / s)
+    assert abs(obj - ref) < 1e-3 * max(1, abs(ref))
