@@ -55,6 +55,43 @@ def sharded_solve(solver, theta, mesh, settings=None):
     return out
 
 
+def make_sharded_qp_solve(jf, mesh, settings):
+    """Batched QP solve with BOTH axes of parallelism:
+    - 'batch': theta instances sharded (data parallel, primary axis);
+    - 'model': the canonical tensors' row axis sharded within instances,
+      so the dense KKT matmuls (Newton-Schulz, iteration matvecs) split
+      over chips -- the axis for very large single instances.
+
+    XLA inserts the collectives (reduce-scatter/all-gather on the
+    contracted dimension, psum for termination).  The fused Pallas kernel
+    assumes replicated operands, so this path pins use_pallas='never'."""
+    import dataclasses
+
+    from ..runtime.jax_family import canon_batch, qp_bounds_batch
+    from ..solvers.admm import admm_solve
+
+    settings = dataclasses.replace(settings, use_pallas='never')
+    ns_bmn = NamedSharding(mesh, P('batch', 'model', None))
+    ns_b = NamedSharding(mesh, P('batch', None))
+
+    @jax.jit
+    def step(jf, theta):
+        data = canon_batch(jf, theta)
+        Pm = jax.lax.with_sharding_constraint(data['P'], ns_bmn)
+        Am = jax.lax.with_sharding_constraint(data['A'], ns_bmn)
+        q = jax.lax.with_sharding_constraint(data['q'], ns_b)
+        l, u = qp_bounds_batch(jf, data['b'])
+        res = admm_solve(Pm, q, Am, l, u, jf.n_zero, settings)
+        res['d'] = data['d']
+        return res
+
+    def run(theta):
+        theta = shard_theta(jnp.asarray(theta), mesh)
+        return step(jf, theta)
+
+    return run
+
+
 class _null:
     def __enter__(self):
         return self

@@ -56,3 +56,21 @@ def test_termination_collective_under_sharding(mpc_setup):
     iters = np.asarray(out['iters'])
     assert np.all(np.asarray(out['solved']))
     assert len(set(iters.tolist())) > 1  # different per-instance stop times
+
+
+def test_model_axis_sharding(mpc_setup):
+    """2D ('batch','model') mesh: canonical tensors sharded within
+    instances too; results must match the replicated solve."""
+    from cvxpygen_tpu.parallel.mesh import make_sharded_qp_solve
+    from cvxpygen_tpu.runtime.jax_family import JaxFamily
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+    fam, T = mpc_setup
+    solver = CompiledQPSolver(fam)
+    ref = solver.solve_batch(T[:4])
+    mesh = make_mesh(8, axes=('batch', 'model'), shape=(4, 2))
+    run = make_sharded_qp_solve(solver.jf, mesh, ADMMSettings())
+    out = run(T[:4])
+    np.testing.assert_allclose(np.asarray(out['obj']),
+                               np.asarray(ref['obj']), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out['x']), np.asarray(ref['x']),
+                               rtol=1e-5, atol=1e-7)
