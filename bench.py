@@ -53,10 +53,13 @@ def main():
     # TPU path (measured 1.44x over plain XLA at B=2048); BENCH_PALLAS=0
     # opts out.
     use_pallas = 'never' if os.environ.get('BENCH_PALLAS') == '0' else 'auto'
+    # swept on v5e (BENCH.md): scaling=3 Ruiz iterations reach the same
+    # conditioning as 10 on this family; check_interval=15 balances
+    # convergence-check overhead vs iteration overshoot
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
-                      check_interval=int(os.environ.get('BENCH_CHECK', '25')),
+                      check_interval=int(os.environ.get('BENCH_CHECK', '15')),
                       ns_iters=int(os.environ.get('BENCH_NS', '30')),
-                      scaling=int(os.environ.get('BENCH_SCALING', '10')),
+                      scaling=int(os.environ.get('BENCH_SCALING', '3')),
                       use_pallas=use_pallas,
                       adaptive_rho=True)
 

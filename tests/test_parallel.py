@@ -74,3 +74,16 @@ def test_model_axis_sharding(mpc_setup):
                                np.asarray(ref['obj']), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out['x']), np.asarray(ref['x']),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_profiling_breakdown(mpc_setup):
+    """runtime.profiling per-stage timings: all stages present, positive."""
+    from cvxpygen_tpu.runtime.profiling import profile_qp_solve
+    from cvxpygen_tpu.runtime.jax_family import JaxFamily
+    fam, T = mpc_setup
+    jf = JaxFamily.from_family(fam)
+    prof = profile_qp_solve(jf, T[:2], reps=1)
+    for key in ('canonicalize_ms', 'equilibrate_ms', 'kkt_assemble_ms',
+                'factorize_ms', 'iterate_25_ms', 'total_solve_ms',
+                'solves_per_s'):
+        assert key in prof and prof[key] > 0, (key, prof)
