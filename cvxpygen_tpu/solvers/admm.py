@@ -300,10 +300,11 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         y1 = rho_vec * (w - z1)
         return x1, z1, y1
 
-    def residuals(x, z, y):
-        Ax = jnp.einsum('bij,bj->bi', As, x)
-        Px = jnp.einsum('bij,bj->bi', Ps, x)
-        Aty = jnp.einsum('bij,bi->bj', As, y)
+    def residuals(x, z, y, Ax=None, Px=None, Aty=None):
+        if Ax is None:
+            Ax = jnp.einsum('bij,bj->bi', As, x)
+            Px = jnp.einsum('bij,bj->bi', Ps, x)
+            Aty = jnp.einsum('bij,bi->bj', As, y)
         rp = _inf_norm(E_inv * (Ax - z))
         rp_den = jnp.maximum(_inf_norm(E_inv * Ax), _inf_norm(E_inv * z))
         rd = c_inv * _inf_norm(D_inv * (Px + qs + Aty))
@@ -333,13 +334,13 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
     else:
         use_pallas = False
 
-    def infeasibility(dx, dy):
+    def infeasibility(dx, dy, Pdx, Adx, Atdy):
         """OSQP section 3.4 certificates, per instance (scaled space with
         unscaling factors applied; reference CPG_Info infeasible statuses,
-        utils.py:977-985).  Returns (prim_inf, dual_inf) masks."""
+        utils.py:977-985).  Returns (prim_inf, dual_inf) masks.  The
+        matvecs are computed by the caller, fused with the residual ones."""
         eps = jnp.asarray(1e-4, dtype)
         dy_n = _inf_norm(E * dy) * c_inv
-        Atdy = jnp.einsum('bij,bi->bj', As, dy)
         cert_p1 = _inf_norm(D_inv * Atdy) * c_inv <= eps * dy_n
         u_fin = jnp.where(us < _INF * 0.5, us * E_inv, 0.0)
         l_fin = jnp.where(ls > -_INF * 0.5, ls * E_inv, 0.0)
@@ -350,8 +351,6 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         prim_inf = (dy_n > 1e-10) & cert_p1 & (sup <= -eps * dy_n) & ~open_dir
 
         dx_n = _inf_norm(D * dx)
-        Pdx = jnp.einsum('bij,bj->bi', Ps, dx)
-        Adx = jnp.einsum('bij,bj->bi', As, dx)
         cert_d1 = _inf_norm(D_inv * Pdx) * c_inv <= eps * dx_n
         cert_d2 = (jnp.einsum('bi,bi->b', qs, dx) * c_inv) <= -eps * dx_n
         up_ok = jnp.where(us >= _INF * 0.5, True,
@@ -384,8 +383,17 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         z = jnp.where(mask, z, zn)
         y = jnp.where(mask, y, yn)
         it = it + st.check_interval
-        rp, rd, rp_den, rd_den, ok = residuals(x, z, y)
-        p_inf, d_inf = infeasibility(dx, dy)
+        # fused check matvecs: one pass over As/Ps for BOTH the residuals
+        # (x, y) and the infeasibility certificates (dx, dy)
+        xs = jnp.stack([x, dx], axis=1)             # (B, 2, n)
+        ys = jnp.stack([y, dy], axis=1)             # (B, 2, m)
+        Axs = jnp.einsum('bij,bcj->bci', As, xs)
+        Pxs = jnp.einsum('bij,bcj->bci', Ps, xs)
+        Atys = jnp.einsum('bij,bci->bcj', As, ys)
+        rp, rd, rp_den, rd_den, ok = residuals(
+            x, z, y, Ax=Axs[:, 0], Px=Pxs[:, 0], Aty=Atys[:, 0])
+        p_inf, d_inf = infeasibility(dx, dy, Pxs[:, 1], Axs[:, 1],
+                                     Atys[:, 1])
         newly = ok & (~done)
         it_vec = jnp.where(newly, it, it_vec)
         status = jnp.where(ok & (status == 0), 1, status)

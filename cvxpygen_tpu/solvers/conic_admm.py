@@ -213,10 +213,11 @@ def _conic_admm_impl(P, q, A, b, n_zero, layout, st, x0, y0):
         y1 = rho_vec * (w - z1)
         return x1, z1, y1
 
-    def residuals(x, z, y):
-        Ax = jnp.einsum('bij,bj->bi', As, x)
-        Px = jnp.einsum('bij,bj->bi', Ps, x)
-        Aty = jnp.einsum('bij,bi->bj', As, y)
+    def residuals(x, z, y, Ax=None, Px=None, Aty=None):
+        if Ax is None:
+            Ax = jnp.einsum('bij,bj->bi', As, x)
+            Px = jnp.einsum('bij,bj->bi', Ps, x)
+            Aty = jnp.einsum('bij,bi->bj', As, y)
         rp = _inf_norm(E_inv * (Ax - z))
         rp_den = jnp.maximum(_inf_norm(E_inv * Ax), _inf_norm(E_inv * z))
         rd = c_inv * _inf_norm(D_inv * (Px + qs + Aty))
@@ -227,16 +228,16 @@ def _conic_admm_impl(P, q, A, b, n_zero, layout, st, x0, y0):
               & (rd <= st.eps_abs + st.eps_rel * rd_den))
         return rp, rd, rp_den, rd_den, ok
 
-    def infeasibility(dx, dy):
+    def infeasibility(dx, dy, Pdx, Adx_s, Atdy):
         """SCS-style certificates for C = {z : z + b in {0} x K}.
 
         primal infeasible: A'dy -> 0, support S_C(dy) < 0; for this C,
             S_C(dy) = -b'dy + (0 if dy_cone in K_polar else +inf).
         dual infeasible: P dx -> 0, q'dx < 0, A dx in recession(C)
-            (= {0} on zero rows, K on cone rows)."""
+            (= {0} on zero rows, K on cone rows).
+        Matvecs come from the caller, fused with the residual ones."""
         eps = jnp.asarray(st.eps_infeas, dtype) ** 0.5  # scaled-space slack
         dy_n = _inf_norm(E * dy) * c_inv
-        Atdy = jnp.einsum('bij,bi->bj', As, dy)
         cert_p1 = _inf_norm(D_inv * Atdy) * c_inv <= eps * dy_n
         # dy_cone must be (approximately) in the polar cone: the distance
         # is ||Pi_K(dy)|| by Moreau (v = Pi_K(v) + Pi_Ko(v))
@@ -250,8 +251,7 @@ def _conic_admm_impl(P, q, A, b, n_zero, layout, st, x0, y0):
                     & (dist_pol <= eps * dy_n) & (sup <= -eps * dy_n))
 
         dx_n = _inf_norm(D * dx)
-        Pdx = jnp.einsum('bij,bj->bi', Ps, dx)
-        Adx = jnp.einsum('bij,bj->bi', As, dx) * E_inv
+        Adx = Adx_s * E_inv
         cert_d1 = _inf_norm(D_inv * Pdx) * c_inv <= eps * dx_n
         cert_d2 = (jnp.einsum('bi,bi->b', qs, dx) * c_inv) <= -eps * dx_n
         zero_ok = _inf_norm(Adx[:, :n_zero]) <= eps * dx_n \
@@ -288,8 +288,17 @@ def _conic_admm_impl(P, q, A, b, n_zero, layout, st, x0, y0):
         z = jnp.where(mask, z, zn)
         y = jnp.where(mask, y, yn)
         it = it + st.check_interval
-        rp, rd, rp_den, rd_den, ok = residuals(x, z, y)
-        p_inf, d_inf = infeasibility(dx, dy)
+        # fused check matvecs (see solvers/admm.py): one pass over As/Ps
+        # for residuals (x, y) and certificates (dx, dy)
+        xs = jnp.stack([x, dx], axis=1)
+        ys = jnp.stack([y, dy], axis=1)
+        Axs = jnp.einsum('bij,bcj->bci', As, xs)
+        Pxs = jnp.einsum('bij,bcj->bci', Ps, xs)
+        Atys = jnp.einsum('bij,bci->bcj', As, ys)
+        rp, rd, rp_den, rd_den, ok = residuals(
+            x, z, y, Ax=Axs[:, 0], Px=Pxs[:, 0], Aty=Atys[:, 0])
+        p_inf, d_inf = infeasibility(dx, dy, Pxs[:, 1], Axs[:, 1],
+                                     Atys[:, 1])
         newly = ok & (~done)
         it_vec = jnp.where(newly, it, it_vec)
         status = jnp.where(ok & (status == 0), 1, status)
