@@ -53,6 +53,8 @@ def main():
     # TPU path (measured 1.44x over plain XLA at B=2048); BENCH_PALLAS=0
     # opts out.
     use_pallas = 'never' if os.environ.get('BENCH_PALLAS') == '0' else 'auto'
+    if os.environ.get('BENCH_FULL') == '1':
+        use_pallas = 'full'  # whole solve in one kernel (admm_full_kernel)
     # swept on v5e (BENCH.md): scaling=3 Ruiz iterations reach the same
     # conditioning as 10 on this family; check_interval=15 balances
     # convergence-check overhead vs iteration overshoot
@@ -61,6 +63,7 @@ def main():
                       ns_iters=int(os.environ.get('BENCH_NS', '30')),
                       scaling=int(os.environ.get('BENCH_SCALING', '3')),
                       use_pallas=use_pallas,
+                      kkt_refine=int(os.environ.get('BENCH_REFINE', '1')),
                       adaptive_rho=True)
 
     @jax.jit

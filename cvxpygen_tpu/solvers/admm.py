@@ -51,8 +51,13 @@ class ADMMSettings:
     ns_iters: int = 30
     # fused Pallas iteration blocks (ops/admm_kernel.py): keeps M^{-1}/A
     # VMEM-resident across check_interval iterations.  'auto' enables on
-    # TPU when a block fits VMEM; 'always'/'never' force.
+    # TPU when a block fits VMEM; 'always'/'never' force; 'full' runs the
+    # ENTIRE solve in one kernel (ops/admm_full_kernel.py): in-kernel
+    # Newton-Schulz factorization, per-block early termination and
+    # per-block adaptive-rho refactorization.
     use_pallas: str = 'auto'
+    # f32-precision tail of the in-kernel cold Newton-Schulz ('full' mode)
+    ns_f32_iters: int = 5
     # adaptive rho (OSQP section 5.2): rescale by the normalized residual
     # ratio at each check; re-"factorization" is a warm Newton-Schulz
     # restart.  Off by default (reference comparison settings pin it off,
@@ -245,6 +250,41 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         kkt_mode = 'ns' if jax.default_backend() not in ('cpu',) else 'inv'
 
     adaptive = st.adaptive_rho and kkt_mode != 'chol'
+
+    if st.use_pallas in ('full', 'full_interpret'):
+        from ..ops.admm_full_kernel import (
+            admm_solve_full_pallas, pick_full_block)
+        if pick_full_block(B, m, n, dtype) is not None:
+            if x0 is not None:
+                x_init = D_inv * x0.astype(dtype)
+                z_init = E * (A @ x0[..., None].astype(dtype))[..., 0]
+            else:
+                x_init = jnp.zeros((B, n), dtype)
+                z_init = jnp.zeros((B, m), dtype)
+            y_init = (c[:, None] * E_inv * y0.astype(dtype)
+                      if y0 is not None else jnp.zeros((B, m), dtype))
+            x, z, y, it_vec, status, rp, rd = admm_solve_full_pallas(
+                Ps, qs, As, ls, us, rho_base, D, E, c_inv,
+                x_init, z_init, y_init,
+                sigma=st.sigma, alpha=st.alpha,
+                eps_abs=st.eps_abs, eps_rel=st.eps_rel,
+                check_interval=st.check_interval, max_iter=st.max_iter,
+                ns_iters=st.ns_iters, ns_f32_iters=st.ns_f32_iters,
+                ns_adapt_iters=st.ns_adapt_iters,
+                adaptive=st.adaptive_rho,
+                rho_tol=st.adaptive_rho_tolerance,
+                kkt_refine=st.kkt_refine,
+                interpret=(st.use_pallas == 'full_interpret'))
+            x_u = D * x
+            z_u = E_inv * z
+            y_u = c_inv[:, None] * E * y
+            obj = c_inv * (0.5 * jnp.einsum('bi,bij,bj->b', x, Ps, x)
+                           + jnp.einsum('bi,bi->b', qs, x))
+            obj = jnp.where(status == -3, jnp.inf, obj)
+            obj = jnp.where(status == -4, -jnp.inf, obj)
+            return dict(x=x_u, y=y_u, z=z_u, obj=obj, iters=it_vec,
+                        pri_res=rp, dua_res=rd, solved=(status == 1),
+                        status=status)
 
     def factor(rho_vec, Minv_warm=None):
         M = form_M(rho_vec)
