@@ -61,6 +61,7 @@ def main():
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
                       check_interval=int(os.environ.get('BENCH_CHECK', '15')),
                       ns_iters=int(os.environ.get('BENCH_NS', '30')),
+                      ns_f32_iters=int(os.environ.get('BENCH_NSF32', '5')),
                       scaling=int(os.environ.get('BENCH_SCALING', '3')),
                       use_pallas=use_pallas,
                       kkt_refine=int(os.environ.get('BENCH_REFINE', '1')),

@@ -121,9 +121,24 @@ def make_conic_diff_solve(jf: JaxFamily, settings=None):
 
         rhs = jnp.concatenate(
             [gx, jnp.zeros((B, mz + mc), dtype)], axis=1)
-        lu, piv = jax.scipy.linalg.lu_factor(K)
-        w = jax.scipy.linalg.lu_solve((lu, piv), rhs[..., None],
-                                      trans=1)[..., 0]
+        # TPU has no f64 LU lowering; factor in f32 there and refine the
+        # transpose solve in the working dtype (mixed-precision refinement)
+        fac_dtype = (jnp.float32
+                     if (dtype == jnp.float64
+                         and jax.default_backend() == 'tpu') else dtype)
+        lu, piv = jax.scipy.linalg.lu_factor(K.astype(fac_dtype))
+
+        def kkt_solve_t(r):
+            return jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(fac_dtype)[..., None],
+                trans=1)[..., 0].astype(dtype)
+
+        w = kkt_solve_t(rhs)
+        if fac_dtype != dtype:
+            Kt = jnp.swapaxes(K, 1, 2)
+            for _ in range(3):
+                r = rhs - jnp.einsum('bij,bj->bi', Kt, w)
+                w = w + kkt_solve_t(r)
         wx = w[:, :n]
         wnu = w[:, n:n + mz]
         wu = w[:, n + mz:]

@@ -88,8 +88,19 @@ def make_diff_solve(jf: JaxFamily, settings: ADMMSettings = None):
             jnp.where(act, -REG, -1.0 / REG).astype(dtype))
 
         rhs = jnp.concatenate([gx, gy * mask], axis=1)
-        lu, piv = jax.scipy.linalg.lu_factor(K)
-        sol = jax.scipy.linalg.lu_solve((lu, piv), rhs[..., None])[..., 0]
+        # TPU has no f64 LU lowering; factor in f32 there and let the
+        # refinement sweeps below (computed in the working dtype) recover
+        # the accuracy (standard mixed-precision iterative refinement)
+        fac_dtype = (jnp.float32
+                     if (dtype == jnp.float64
+                         and jax.default_backend() == 'tpu') else dtype)
+        lu, piv = jax.scipy.linalg.lu_factor(K.astype(fac_dtype))
+
+        def kkt_solve(r):
+            return jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(fac_dtype)[..., None])[..., 0].astype(dtype)
+
+        sol = kkt_solve(rhs)
         # refinement against the unregularized KKT (parity: 3 sweeps,
         # reference cpg_osqp_grad_compute.c.jinja2:456-490)
         K_true = K.at[:, jnp.arange(n), jnp.arange(n)].add(-REG)
@@ -97,8 +108,7 @@ def make_diff_solve(jf: JaxFamily, settings: ADMMSettings = None):
             jnp.where(act, 0.0, -1.0 / REG).astype(dtype))
         for _ in range(3):
             r = rhs - jnp.einsum('bij,bj->bi', K_true, sol)
-            sol = sol + jax.scipy.linalg.lu_solve(
-                (lu, piv), r[..., None])[..., 0]
+            sol = sol + kkt_solve(r)
         rx = sol[:, :n]
         ry = sol[:, n:] * mask
 

@@ -213,8 +213,10 @@ def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
         cert_d1 = inf_norm(D_inv * Pdx) * cinv <= eps_inf * dx_n
         cert_d2 = (jnp.sum(qs * dx, axis=1, keepdims=True) * cinv
                    <= -eps_inf * dx_n)
-        up_ok = jnp.where(u_open, True, E_inv * Adx <= eps_inf * dx_n)
-        lo_ok = jnp.where(l_open, True, E_inv * Adx >= -eps_inf * dx_n)
+        # (bool-or, not where(mask, True, pred): Mosaic cannot lower the
+        # i8->i1 vector truncation the literal-True where produces)
+        up_ok = u_open | (E_inv * Adx <= eps_inf * dx_n)
+        lo_ok = l_open | (E_inv * Adx >= -eps_inf * dx_n)
         d_inf = ((dx_n > 1e-10) & cert_d1 & cert_d2
                  & jnp.all(up_ok & lo_ok, axis=1, keepdims=True))
 
@@ -268,14 +270,22 @@ def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
     ord_ref[:] = rd
 
 
+# v5e/v5p VMEM is far larger than the 16MB default scoped limit; the
+# kernel requests this much and sizes blocks to ~70% of it (measured
+# overhead vs the analytic estimate is ~1.7x: Mosaic's NS/M temporaries
+# and double-buffered IO)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def pick_full_block(B, m, n, dtype=jnp.float32):
-    """Largest batch block (multiple of 8) whose resident set fits VMEM:
-    pipelined P/A inputs (x2), the M^{-1} scratch, one (blk,n,n) M
-    temporary and ~2 (blk,m,n) broadcast temporaries."""
+    """Largest batch block (multiple of 8) whose resident set fits the
+    requested VMEM: pipelined P/A inputs (x2), the M^{-1} scratch, M and
+    broadcast temporaries, with the measured 1.7x Mosaic overhead."""
     esize = jnp.dtype(dtype).itemsize
-    for blk in (16, 8):
+    for blk in (32, 16, 8, 4):
         est = blk * (2 * (n * n + m * n) + 2 * n * n + 2 * m * n) * esize
-        if B % blk == 0 and est <= 14 * 1024 * 1024:
+        est = int(est * 1.7)
+        if B % blk == 0 and est <= int(_VMEM_LIMIT * 0.7):
             return blk
     return None
 
@@ -333,6 +343,8 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
                    jax.ShapeDtypeStruct((B, 1), dtype),
                    jax.ShapeDtypeStruct((B, 1), dtype)),
         scratch_shapes=[pltpu.VMEM((block, n, n), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(Ps, As, qs, ls, us, rho_base,
       D, E, c_inv.reshape(B, 1), x0, z0, y0)
