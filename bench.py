@@ -52,16 +52,25 @@ def main():
     # The fused Pallas iteration kernel (ops/admm_kernel.py) is the default
     # TPU path (measured 1.44x over plain XLA at B=2048); BENCH_PALLAS=0
     # opts out.
-    use_pallas = 'never' if os.environ.get('BENCH_PALLAS') == '0' else 'auto'
-    if os.environ.get('BENCH_FULL') == '1':
-        use_pallas = 'full'  # whole solve in one kernel (admm_full_kernel)
+    # default: full-solve kernel (admm_full_kernel) -- whole ADMM solve in
+    # one pallas_call; measured 6,346 solves/s vs 5,217 chunked (BENCH.md).
+    # BENCH_FULL=0 falls back to the chunked kernel, BENCH_PALLAS=0 to XLA.
+    use_pallas = 'full'
+    if os.environ.get('BENCH_FULL') == '0':
+        use_pallas = 'auto'
+    if os.environ.get('BENCH_PALLAS') == '0':
+        use_pallas = 'never'
     # swept on v5e (BENCH.md): scaling=3 Ruiz iterations reach the same
     # conditioning as 10 on this family; check_interval=15 balances
     # convergence-check overhead vs iteration overshoot
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
                       check_interval=int(os.environ.get('BENCH_CHECK', '15')),
-                      ns_iters=int(os.environ.get('BENCH_NS', '30')),
-                      ns_f32_iters=int(os.environ.get('BENCH_NSF32', '5')),
+                      ns_iters=int(os.environ.get('BENCH_NS', '20')),
+                      ns_f32_iters=int(os.environ.get('BENCH_NSF32', '10')),
+                      ns_adapt_iters=int(os.environ.get('BENCH_NSADAPT',
+                                                        '12')),
+                      adaptive_rho_until=int(os.environ.get(
+                          'BENCH_ADAPT_UNTIL', '0')),
                       scaling=int(os.environ.get('BENCH_SCALING', '3')),
                       use_pallas=use_pallas,
                       kkt_refine=int(os.environ.get('BENCH_REFINE', '1')),

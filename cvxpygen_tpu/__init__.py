@@ -38,3 +38,11 @@ __all__ = [
 ]
 
 __version__ = '0.1.0'
+
+
+def __getattr__(name):
+    # lazy: TorchLayer pulls in torch; keep the base import torch-free
+    if name == 'TorchLayer':
+        from .autodiff.torch_layer import TorchLayer
+        return TorchLayer
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -45,7 +45,7 @@ def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
                        orp_ref, ord_ref, minv_ref):
     (blk, n, m, sigma, alpha, eps_abs, eps_rel, check_interval, max_iter,
      ns_iters, ns_f32_iters, ns_adapt_iters, adaptive, rho_tol,
-     kkt_refine) = cfg
+     kkt_refine, adapt_until) = cfg
 
     Ps = p_ref[:]                       # (BLK, n, n), symmetric
     As = a_ref[:]                       # (BLK, m, n)
@@ -233,6 +233,8 @@ def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
                 / jnp.maximum(rd / jnp.maximum(rd_den, 1e-10), 1e-10))
             change = ((ratio > rho_tol) | (ratio < 1.0 / rho_tol)) \
                 & (done == 0)
+            if adapt_until > 0:
+                change = change & (it <= adapt_until)
             step_f = jnp.clip(jnp.where(change, ratio, 1.0), 0.1, 10.0)
             new_scale = jnp.clip(rho_scale * step_f, 1e-6, 1e6)
 
@@ -294,8 +296,8 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
                            x0, z0, y0, *, sigma, alpha, eps_abs, eps_rel,
                            check_interval, max_iter, ns_iters,
                            ns_f32_iters, ns_adapt_iters, adaptive,
-                           rho_tol, kkt_refine=1, block=None,
-                           interpret=False):
+                           rho_tol, kkt_refine=1, adapt_until=0,
+                           block=None, interpret=False):
     """Full batched ADMM solve in one pallas_call, on SCALED data.
 
     All arrays batched on axis 0 (already Ruiz-equilibrated); returns
@@ -313,7 +315,8 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
     cfg = (block, n, m, float(sigma), float(alpha), float(eps_abs),
            float(eps_rel), int(check_interval), int(max_iter),
            int(ns_iters), int(ns_f32_iters), int(ns_adapt_iters),
-           bool(adaptive), float(rho_tol), int(kkt_refine))
+           bool(adaptive), float(rho_tol), int(kkt_refine),
+           int(adapt_until))
 
     grid = (B // block,)
 
