@@ -65,8 +65,8 @@ def main():
     # convergence-check overhead vs iteration overshoot
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
                       check_interval=int(os.environ.get('BENCH_CHECK', '15')),
-                      ns_iters=int(os.environ.get('BENCH_NS', '20')),
-                      ns_f32_iters=int(os.environ.get('BENCH_NSF32', '10')),
+                      ns_iters=int(os.environ.get('BENCH_NS', '16')),
+                      ns_f32_iters=int(os.environ.get('BENCH_NSF32', '6')),
                       ns_adapt_iters=int(os.environ.get('BENCH_NSADAPT',
                                                         '12')),
                       adaptive_rho_until=int(os.environ.get(

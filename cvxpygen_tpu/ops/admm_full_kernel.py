@@ -39,9 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 1e30
 
 
-def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
-                       d_ref, e_ref, cinv_ref, x0_ref, z0_ref, y0_ref,
-                       ox_ref, oz_ref, oy_ref, oit_ref, ost_ref,
+def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
+                       rho0_ref, d_ref, e_ref, cinv_ref, x0_ref, z0_ref,
+                       y0_ref, ox_ref, oz_ref, oy_ref, oit_ref, ost_ref,
                        orp_ref, ord_ref, minv_ref):
     (blk, n, m, sigma, alpha, eps_abs, eps_rel, check_interval, max_iter,
      ns_iters, ns_f32_iters, ns_adapt_iters, adaptive, rho_tol,
@@ -49,6 +49,7 @@ def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
 
     Ps = p_ref[:]                       # (BLK, n, n), symmetric
     As = a_ref[:]                       # (BLK, m, n)
+    At = at_ref[:]                      # (BLK, n, m) -- A transposed
     qs = q_ref[:]                       # (BLK, n)
     ls = l_ref[:]
     us = u_ref[:]
@@ -64,7 +65,9 @@ def _full_solve_kernel(cfg, p_ref, a_ref, q_ref, l_ref, u_ref, rho0_ref,
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(dtype)
 
     def Av(x):                          # A @ x      -> (BLK, m)
-        return jnp.sum(As * x[:, None, :], axis=2)
+        # via the resident transpose: reduction runs over SUBLANES (axis 1)
+        # like every other matvec here; lane reductions measured slower
+        return jnp.sum(At * x[:, :, None], axis=1)
 
     def Atv(v):                         # A^T @ v    -> (BLK, n)
         return jnp.sum(As * v[:, :, None], axis=1)
@@ -285,7 +288,7 @@ def pick_full_block(B, m, n, dtype=jnp.float32):
     broadcast temporaries, with the measured 1.7x Mosaic overhead."""
     esize = jnp.dtype(dtype).itemsize
     for blk in (32, 16, 8, 4):
-        est = blk * (2 * (n * n + m * n) + 2 * n * n + 2 * m * n) * esize
+        est = blk * (2 * (n * n + 2 * m * n) + 2 * n * n + 2 * m * n) * esize
         est = int(est * 1.7)
         if B % blk == 0 and est <= int(_VMEM_LIMIT * 0.7):
             return blk
@@ -328,14 +331,16 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
                          memory_space=pltpu.VMEM)
     mat_mn = pl.BlockSpec((block, m, n), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    mat_nm = pl.BlockSpec((block, n, m), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_full_solve_kernel, cfg)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[mat_n, mat_mn, vspec(n), vspec(m), vspec(m), vspec(m),
-                  vspec(n), vspec(m), vspec(1), vspec(n), vspec(m),
-                  vspec(m)],
+        in_specs=[mat_n, mat_mn, mat_nm, vspec(n), vspec(m), vspec(m),
+                  vspec(m), vspec(n), vspec(m), vspec(1), vspec(n),
+                  vspec(m), vspec(m)],
         out_specs=(vspec(n), vspec(m), vspec(m), vspec(1), vspec(1),
                    vspec(1), vspec(1)),
         out_shape=(jax.ShapeDtypeStruct((B, n), dtype),
@@ -349,7 +354,7 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(Ps, As, qs, ls, us, rho_base,
+    )(Ps, As, jnp.swapaxes(As, 1, 2), qs, ls, us, rho_base,
       D, E, c_inv.reshape(B, 1), x0, z0, y0)
     x, z, y, it_vec, status, rp, rd = out
     return (x, z, y, it_vec[:, 0], status[:, 0], rp[:, 0], rd[:, 0])

@@ -47,6 +47,16 @@ def test_full_kernel_matches_xla_path(adaptive):
                                np.asarray(ref['obj']), rtol=1e-3, atol=1e-3)
 
 
+def test_full_kernel_adapt_until():
+    """rho adaptation cutoff still converges (refactors only early)."""
+    (P, q, A, l, u), n_eq = _random_qp_batch(seed=4)
+    st = ADMMSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=2000,
+                      check_interval=20, ns_iters=40, adaptive_rho=True,
+                      adaptive_rho_until=60, use_pallas='full_interpret')
+    out = admm_solve(P, q, A, l, u, n_eq, st)
+    assert np.all(np.asarray(out['solved']))
+
+
 def test_full_kernel_infeasible_detection():
     (P, q, A, l, u), n_eq = _random_qp_batch(B=8, seed=1)
     # make instance 0 primal infeasible: contradictory rows a'x <= -1, a'x >= 1
