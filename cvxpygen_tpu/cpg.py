@@ -23,7 +23,7 @@ import sys
 from .canon.canonicalizer import canonicalize
 
 _SOLVER_ALIASES = ('ADMM', 'OSQP', 'IPM', 'SCS', 'ECOS', 'CLARABEL', 'QOCO',
-                   'QOCOGEN', 'EXPLICIT')
+                   'QOCOGEN', 'EXPLICIT', 'BANDED', 'ADMM_BANDED')
 
 
 def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,

@@ -42,7 +42,7 @@ _INF = 1e30
 def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
                        rho0_ref, d_ref, e_ref, cinv_ref, x0_ref, z0_ref,
                        y0_ref, ox_ref, oz_ref, oy_ref, oit_ref, ost_ref,
-                       orp_ref, ord_ref, minv_ref):
+                       orp_ref, ord_ref, minv_ref, m_ref):
     (blk, n, m, sigma, alpha, eps_abs, eps_rel, check_interval, max_iter,
      ns_iters, ns_f32_iters, ns_adapt_iters, adaptive, rho_tol,
      kkt_refine, adapt_until) = cfg
@@ -77,7 +77,9 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
 
     def form_M(rho_vec):
         # M = P + sigma I + A^T diag(rho) A, per instance on the MXU
-        # (precision HIGHEST: TPU default f32 matmul is a single bf16 pass)
+        # (precision HIGHEST: TPU default f32 matmul is a single bf16 pass).
+        # M stays RESIDENT in m_ref: the solve-time refinement step then
+        # costs one n x n matvec instead of P/A/A^T passes (3n^2+? -> n^2).
         AR = As * rho_vec[:, :, None]
         rows = []
         for b in range(blk):
@@ -86,7 +88,8 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
                 preferred_element_type=dtype,
                 precision=jax.lax.Precision.HIGHEST)
             rows.append(Ps[b] + sigma * eye + AtRA)
-        return jnp.stack(rows)
+        m_ref[:] = jnp.stack(rows)
+        return m_ref[:]
 
     def ns_sweep(M, iters, precision):
         # Newton-Schulz X <- X(2I - MX) on the resident inverse, in place
@@ -150,9 +153,13 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
         rho_vec = rho0 * rho_scale                       # (BLK, m)
         rho_inv = 1.0 / rho_vec
         Minv = minv_ref[:]
+        Ms = m_ref[:]
 
         def Minv_v(r):                  # M^{-1} @ r (symmetric)
             return jnp.sum(Minv * r[:, :, None], axis=1)
+
+        def Mv(r):                      # M @ r (resident, symmetric)
+            return jnp.sum(Ms * r[:, :, None], axis=1)
 
         def one_iter(_, carry):
             xi, zi, yi = carry
@@ -161,10 +168,10 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
             # iterative refinement at SOLVE time: computing the residual
             # against the true M reaches backward error ~eps_f32, which an
             # explicitly polished inverse cannot (NS stalls at eps*cond);
-            # needed for eps <= 1e-4 tolerances on ill-scaled families
+            # needed for eps <= 1e-4 tolerances on ill-scaled families.
+            # Uses the RESIDENT M (one n x n matvec, vs P/A/A^T passes).
             for _ in range(kkt_refine):
-                Mxt = sigma * xt + Pv(xt) + Atv(rho_vec * Av(xt))
-                xt = xt + Minv_v(rhs - Mxt)
+                xt = xt + Minv_v(rhs - Mv(xt))
             zt = Av(xt)
             x1 = alpha * xt + (1.0 - alpha) * xi
             w = alpha * zt + (1.0 - alpha) * zi + rho_inv * yi
@@ -288,7 +295,9 @@ def pick_full_block(B, m, n, dtype=jnp.float32):
     broadcast temporaries, with the measured 1.7x Mosaic overhead."""
     esize = jnp.dtype(dtype).itemsize
     for blk in (32, 16, 8, 4):
-        est = blk * (2 * (n * n + 2 * m * n) + 2 * n * n + 2 * m * n) * esize
+        # pipelined P/A/At inputs (x2), M^{-1} + resident-M scratches,
+        # and broadcast temporaries
+        est = blk * (2 * (n * n + 2 * m * n) + 3 * n * n + 2 * m * n) * esize
         est = int(est * 1.7)
         if B % blk == 0 and est <= int(_VMEM_LIMIT * 0.7):
             return blk
@@ -350,7 +359,8 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
                    jax.ShapeDtypeStruct((B, 1), dtype),
                    jax.ShapeDtypeStruct((B, 1), dtype)),
-        scratch_shapes=[pltpu.VMEM((block, n, n), dtype)],
+        scratch_shapes=[pltpu.VMEM((block, n, n), dtype),
+                        pltpu.VMEM((block, n, n), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,

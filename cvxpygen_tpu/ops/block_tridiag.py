@@ -130,6 +130,10 @@ def detect_block_bandwidth(pattern, s_candidates=(1, 2, 3, 4, 6, 8, 12,
     for s in s_candidates:
         if n % s:
             continue
+        # require >= 4 blocks: with nb <= 3 every matrix is trivially
+        # "block-tridiagonal" and the banded path saves nothing
+        if n // s < 4:
+            continue
         if np.all(np.abs(r // s - c // s) <= 1):
             return int(s)
     return None

@@ -71,7 +71,7 @@ class JaxFamily:
     DENSE_LIMIT = 3e7  # max dense-map entries (~120MB f32)
 
     @classmethod
-    def from_family(cls, fam: Family, dtype=None):
+    def from_family(cls, fam: Family, dtype=None, force_scatter=False):
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
         n, m, p1 = fam.n, fam.m, fam.p1
@@ -79,7 +79,7 @@ class JaxFamily:
                   if getattr(fam, 'd_quad', None) is not None
                   else jnp.zeros((fam.p1, fam.p1), dtype=dtype))
         dense_entries = (n * n + m * n + n + m + 1) * p1
-        if dense_entries <= cls.DENSE_LIMIT:
+        if dense_entries <= cls.DENSE_LIMIT and not force_scatter:
             # scatter-free layout: P and A rows cover EVERY dense entry
             # (row i*n + j) -- canonicalization is one GEMM + reshape (XLA
             # TPU scatters proved a compile/fusion hazard)
@@ -153,6 +153,30 @@ def canon_batch(jf: JaxFamily, theta):
     if jf.d_quad is not None:
         d = d + jnp.einsum('bp,pq,bq->b', tt, jf.d_quad, tt)
     return dict(P=P, q=q, d=d, A=A, b=b)
+
+
+def canon_batch_sparse(jf: JaxFamily, theta):
+    """theta (B, p) -> dict(pvals, q, d, avals, b): canonical NONZERO
+    values only (no dense P/A materialization) -- the input format of the
+    block-banded solver (solvers/admm_banded.py).  Requires scatter-mode
+    jf (from_family(..., force_scatter=True))."""
+    if jf.dense_mode:
+        raise ValueError('canon_batch_sparse needs a scatter-mode JaxFamily')
+    B = theta.shape[0]
+    dtype = jf.maps.dtype
+    tt = jnp.concatenate(
+        [theta.astype(dtype), jnp.ones((B, 1), dtype=dtype)], axis=1)
+    vals = tt @ jf.maps.T
+    n, m = jf.n, jf.m
+    o = 0
+    pvals = vals[:, o:o + jf.nP]; o += jf.nP
+    q = vals[:, o:o + n]; o += n
+    d = vals[:, o]; o += 1
+    avals = vals[:, o:o + jf.nA]; o += jf.nA
+    b = vals[:, o:o + m]
+    if jf.d_quad is not None:
+        d = d + jnp.einsum('bp,pq,bq->b', tt, jf.d_quad, tt)
+    return dict(pvals=pvals, q=q, d=d, avals=avals, b=b)
 
 
 def qp_bounds_batch(jf: JaxFamily, b):

@@ -81,6 +81,66 @@ def _qp_solve_raw(jf: JaxFamily, theta, x0, y0, settings: ADMMSettings):
     return res
 
 
+class CompiledBandedQPSolver:
+    """Block-banded ADMM-backed compiled family solver for long-horizon
+    QP families (MPC with large H, charging with T ~ 1440): the KKT
+    matrix is block-tridiagonal after an RCM permutation, so the solve
+    runs on sparse/banded storage -- O(nnz + nb s^2) per iteration
+    instead of O(n^2), and no dense (B, n, n) tensors are ever
+    materialized (see solvers/admm_banded.py).
+
+    The reference covers these families with OSQP's sparse QDLDL on CPU
+    (reference cvxpygen/solvers/osqp.py); this is the TPU-native
+    equivalent.  Raises ValueError when the family's KKT pattern is not
+    (usefully) block-banded -- use CompiledQPSolver then."""
+
+    solver_name = 'ADMM_BANDED'
+
+    def __init__(self, family: Family, settings: ADMMSettings = None,
+                 dtype=None):
+        from ..solvers.admm_banded import build_banded_structure
+        if family.soc_dims or getattr(family, 'n_exp', 0) \
+                or getattr(family, 'psd_dims', ()):
+            raise ValueError('family has cones: use a conic solver')
+        self.family = family
+        self.settings = settings or ADMMSettings()
+        self.jf = JaxFamily.from_family(family, dtype=dtype,
+                                        force_scatter=True)
+        self.struct = build_banded_structure(
+            family.P_idx, family.A_idx, family.n, family.m)
+        if self.struct is None:
+            raise ValueError('family KKT pattern is not block-banded')
+        self._solve_jit = jax.jit(
+            functools.partial(_banded_qp_solve_raw, self.struct),
+            static_argnames=('settings',))
+
+    def solve_batch(self, theta, settings: ADMMSettings = None,
+                    x0=None, y0=None):
+        theta = jnp.atleast_2d(jnp.asarray(theta))
+        st = settings or self.settings
+        return self._solve_jit(self.jf, theta, x0, y0, settings=st)
+
+    solve_into_problem = CompiledQPSolver.solve_into_problem
+
+
+def _banded_qp_solve_raw(struct, jf: JaxFamily, theta, x0, y0,
+                         settings: ADMMSettings):
+    from ..solvers.admm_banded import admm_solve_banded
+    from .jax_family import canon_batch_sparse
+    data = canon_batch_sparse(jf, theta)
+    mz = jf.n_zero
+    b = data['b']
+    l = -b
+    u = jnp.concatenate([-b[:, :mz], jnp.full_like(b[:, mz:], jnp.inf)],
+                        axis=1)
+    res = admm_solve_banded(struct, data['pvals'], data['q'],
+                            data['avals'], l, u, jf.n_zero, settings,
+                            x0=x0, y0=y0)
+    res['d'] = data['d']
+    res['y_canon'] = -res['y']
+    return res
+
+
 class CompiledConicSolver:
     """IPM-backed compiled family solver (Clarabel/ECOS/SCS/QOCO role).
 
@@ -188,7 +248,19 @@ def make_compiled_solver(family: Family, solver='ADMM', settings=None,
     has_exotic = bool(getattr(family, 'n_exp', 0)
                       or getattr(family, 'psd_dims', ())
                       or getattr(family, 'pow_alphas', ()))
+    if name in ('BANDED', 'ADMM_BANDED') and not (family.soc_dims
+                                                  or has_exotic):
+        return CompiledBandedQPSolver(family, settings=settings, dtype=dtype)
     if name in ('ADMM', 'OSQP') and not (family.soc_dims or has_exotic):
+        # long-horizon families: dense (B, n, n) KKT storage is
+        # prohibitive -- route to the block-banded solver when the KKT
+        # pattern supports it
+        if family.n >= 512:
+            try:
+                return CompiledBandedQPSolver(family, settings=settings,
+                                              dtype=dtype)
+            except ValueError:
+                pass
         return CompiledQPSolver(family, settings=settings, dtype=dtype)
     if name in ('ADMM', 'OSQP'):
         raise ValueError(f'{solver}: QP-form solver but family has cones '

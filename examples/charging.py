@@ -1,9 +1,10 @@
 """Battery charging QP (parity: reference examples/charging.ipynb).
 
-The reference uses T = 1440 (24h at minute resolution); the dense batched
-canonical form here is sized for T up to a few hundred (block-banded KKT
-structure for very long horizons is on the roadmap, SURVEY.md section 5
-'long-context').  Default T=144 (10-minute resolution).
+The reference uses T = 1440 (24h at minute resolution).  Long horizons
+route automatically to the block-banded ADMM solver
+(solvers/admm_banded.py): the KKT matrix is block-tridiagonal after an
+RCM permutation, so no dense (n x n) tensors are materialized and T=1440
+(n = 2881) solves directly.  Default T=1440; set CHARGING_T to change.
 """
 import os
 import sys
@@ -22,7 +23,7 @@ import cvxpygen_tpu as ct
 from cvxpygen_tpu import cpg
 
 if __name__ == '__main__':
-    T = int(os.environ.get('CHARGING_T', '144'))
+    T = int(os.environ.get('CHARGING_T', '1440'))
 
     u = ct.Variable(T, name='u')
     q = ct.Variable(T + 1, name='q')
