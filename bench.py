@@ -1,8 +1,21 @@
 """Benchmark: batched MPC-QP solves/s on one chip (BASELINE.md target:
 >= 10,000 solves/s/chip on TPU v5e with objective parity vs OSQP-style C).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Runs on the default JAX backend (the real TPU chip under the driver).
+
+Workload: receding-horizon MPC -- the reference's flagship use case
+(reference examples/MPC.ipynb: fixed dynamics/weights, re-solve per new
+x_init).  The batch is B DISTINCT initial states; canonical P/A are shared
+across the batch exactly as the reference's update-structure keeps the
+OSQP factorization when only vector params change (reference
+cvxpygen/solvers/osqp.py:20-61).  The solve runs the shared-KKT full-solve
+Pallas kernel (ops/admm_shared_kernel.py): every per-iteration matvec is a
+full-chunk MXU GEMM.
+
+Env knobs: BENCH_BATCH, BENCH_REPS, BENCH_CHECK, BENCH_SHARED=0 (force the
+per-instance path, the round-1 configuration), BENCH_PALLAS=0 (XLA only),
+BENCH_SOL=0 (skip the KKT speed-of-light measurement).
 """
 import json
 import sys
@@ -14,6 +27,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 'tests'))
 
 import numpy as np
+
+
+def _materialize(x):
+    # on the axon relay, block_until_ready alone does NOT guarantee
+    # completion; timings must materialize a device-side scalar
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
 
 
 def main():
@@ -30,123 +50,237 @@ def main():
 
     from problems import MPC_problem, assign_MPC
     from cvxpygen_tpu.canon.canonicalizer import canonicalize
-    from cvxpygen_tpu.runtime.jax_family import (
-        JaxFamily, canon_batch, qp_bounds_batch)
-    from cvxpygen_tpu.solvers.admm import ADMMSettings, admm_solve
+    from cvxpygen_tpu.runtime.solver import CompiledQPSolver
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
     from cvxpygen_tpu.solvers.oracle import solve_family_numpy
 
     prob = MPC_problem()
     assign_MPC(prob, seed=0)
     fam = canonicalize(prob)
 
+    # B DISTINCT instances: same dynamics/weights, per-instance x_init
+    # (the same distribution assign_MPC draws from)
+    B = int(os.environ.get('BENCH_BATCH', '2048'))
+    base_theta = fam.pack_theta(params=prob.parameters())
+    xi = [pi for pi in fam.param_info if pi.name == 'x_init'][0]
     rng = np.random.default_rng(0)
-    thetas = []
-    for seed in range(16):
-        assign_MPC(prob, seed=seed)
-        thetas.append(fam.pack_theta(params=prob.parameters()))
-    T16 = np.stack(thetas)
+    theta = np.tile(base_theta, (B, 1))
+    theta[:, xi.offset:xi.offset + xi.flat_size] = rng.uniform(
+        -2.0, 2.0, (B, xi.flat_size))
 
     dtype = jnp.float32 if jax.default_backend() != 'cpu' else None
-    jf = JaxFamily.from_family(fam, dtype=dtype)
+    shared = os.environ.get('BENCH_SHARED', '1') != '0'
+    use_pallas = 'never' if os.environ.get('BENCH_PALLAS') == '0' else \
+        ('auto' if shared else 'full')
     # reference-parity tolerances (tests/utils_test.py:25-28): eps 1e-3.
-    # The fused Pallas iteration kernel (ops/admm_kernel.py) is the default
-    # TPU path (measured 1.44x over plain XLA at B=2048); BENCH_PALLAS=0
-    # opts out.
-    # default: full-solve kernel (admm_full_kernel) -- whole ADMM solve in
-    # one pallas_call; measured 6,346 solves/s vs 5,217 chunked (BENCH.md).
-    # BENCH_FULL=0 falls back to the chunked kernel, BENCH_PALLAS=0 to XLA.
-    use_pallas = 'full'
-    if os.environ.get('BENCH_FULL') == '0':
-        use_pallas = 'auto'
-    if os.environ.get('BENCH_PALLAS') == '0':
-        use_pallas = 'never'
-    # swept on v5e (BENCH.md): scaling=3 Ruiz iterations reach the same
-    # conditioning as 10 on this family; check_interval=15 balances
-    # convergence-check overhead vs iteration overshoot
-    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
-                      check_interval=int(os.environ.get('BENCH_CHECK', '15')),
-                      ns_iters=int(os.environ.get('BENCH_NS', '16')),
-                      ns_f32_iters=int(os.environ.get('BENCH_NSF32', '6')),
-                      ns_adapt_iters=int(os.environ.get('BENCH_NSADAPT',
-                                                        '12')),
-                      adaptive_rho_until=int(os.environ.get(
-                          'BENCH_ADAPT_UNTIL', '0')),
-                      scaling=int(os.environ.get('BENCH_SCALING', '3')),
-                      use_pallas=use_pallas,
-                      kkt_refine=int(os.environ.get('BENCH_REFINE', '1')),
-                      adaptive_rho=True)
+    st = ADMMSettings(
+        eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
+        check_interval=int(os.environ.get('BENCH_CHECK', '15')),
+        ns_iters=int(os.environ.get('BENCH_NS', '16')),
+        ns_f32_iters=int(os.environ.get('BENCH_NSF32', '6')),
+        ns_adapt_iters=int(os.environ.get('BENCH_NSADAPT', '12')),
+        adaptive_rho_until=int(os.environ.get('BENCH_ADAPT_UNTIL', '0')),
+        scaling=int(os.environ.get('BENCH_SCALING', '3')),
+        use_pallas=use_pallas,
+        kkt_refine=int(os.environ.get('BENCH_REFINE', '1')),
+        adaptive_rho=True)
 
-    @jax.jit
-    def step(jf, theta):
-        data = canon_batch(jf, theta)
-        l, u = qp_bounds_batch(jf, data['b'])
-        res = admm_solve(data['P'], data['q'], data['A'], l, u,
-                         jf.n_zero, st)
-        return res['x'], res['obj'] + data['d'], res['solved'], res['iters']
+    solver = CompiledQPSolver(fam, settings=st, dtype=dtype)
+    mode = 'shared' if (shared and solver._use_shared(theta, 'auto')) \
+        else 'per-instance'
+    print(f'# path: {mode} (B={B} distinct x_init instances)',
+          file=sys.stderr, flush=True)
 
-    B = int(os.environ.get('BENCH_BATCH', '2048'))
-    theta = jnp.asarray(np.tile(T16, (B // 16 + 1, 1))[:B],
-                        dtype=dtype or jnp.float64)
+    def step(th):
+        out = solver.solve_batch(th, shared_PA=(mode == 'shared'))
+        return out['x'], out['obj'] + out['d'], out['solved'], out['iters']
 
-    # compile + warmup; materialize a scalar -- on the axon relay,
-    # block_until_ready alone does NOT guarantee compile/exec completed
     t0 = time.perf_counter()
-    try:
-        x, obj, solved, iters = step(jf, theta)
-        _ = float(np.asarray(obj).sum())
-    except Exception as e:  # pallas lowering issues -> plain XLA fallback
-        print(f'# pallas path failed ({type(e).__name__}); falling back',
-              file=sys.stderr, flush=True)
-        st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
-                          check_interval=25, use_pallas='never')
-
-        @jax.jit
-        def step(jf, theta):
-            data = canon_batch(jf, theta)
-            l, u = qp_bounds_batch(jf, data['b'])
-            res = admm_solve(data['P'], data['q'], data['A'], l, u,
-                             jf.n_zero, st)
-            return res['x'], res['obj'] + data['d'], res['solved'], res['iters']
-
-        x, obj, solved, iters = step(jf, theta)
-        _ = float(np.asarray(obj).sum())
+    x, obj, solved, iters = step(theta)
+    _materialize(obj)
     print(f'# compile+first run: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr, flush=True)
 
     reps = int(os.environ.get('BENCH_REPS', '3'))
     t0 = time.perf_counter()
     for _ in range(reps):
-        x, obj, solved, iters = step(jf, theta)
-        # force full materialization each rep (the axon tunnel's
-        # block_until_ready alone proved unreliable for timing)
-        _ = float(np.asarray(obj).sum())
+        x, obj, solved, iters = step(theta)
+        _materialize(obj)
     dt = time.perf_counter() - t0
     solves_per_s = B * reps / dt
     print(f'# timed {reps} reps in {dt:.3f}s', file=sys.stderr, flush=True)
 
-    # objective parity vs float64 oracle on base instances
+    # objective parity vs float64 oracle on distinct instances
     n_check = 8
     obj_np = np.asarray(obj[:n_check], dtype=np.float64)
     max_rel = 0.0
     for i in range(n_check):
-        res, _ = solve_family_numpy(fam, T16[i])
-        tt = np.concatenate([T16[i], [1.0]])
+        res, _ = solve_family_numpy(fam, theta[i])
+        tt = np.concatenate([theta[i], [1.0]])
         ref = res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0])
         max_rel = max(max_rel, abs(obj_np[i] - ref) / max(1.0, abs(ref)))
 
-    frac_solved = float(np.mean(np.asarray(solved)))
     result = {
         'metric': 'mpc_qp_solves_per_s_per_chip',
         'value': round(solves_per_s, 1),
         'unit': 'solves/s',
         'vs_baseline': round(solves_per_s / 10000.0, 4),
         'batch': B,
+        'distinct_instances': B,
+        'path': mode,
         'mean_iters': float(np.mean(np.asarray(iters))),
-        'frac_solved': frac_solved,
+        'frac_solved': float(np.mean(np.asarray(solved))),
         'max_obj_rel_err_vs_oracle': round(max_rel, 6),
         'backend': jax.default_backend(),
     }
+
+    if os.environ.get('BENCH_SOL', '1') != '0':
+        # KKT-solve speed-of-light (BASELINE.md measurement point): the
+        # per-iteration KKT application is (B, n) @ (n, n); time K of them
+        # back-to-back and report the implied ceiling at the measured
+        # mean-iteration count.
+        n = fam.n
+        K = 100
+        M = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        V = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+
+        @jax.jit
+        def kkt_chain(V, M):
+            def body(_, v):
+                return jax.lax.dot(v, M,
+                                   precision=jax.lax.Precision.HIGHEST)
+            return jax.lax.fori_loop(0, K, body, V)
+
+        _materialize(kkt_chain(V, M))
+        t0 = time.perf_counter()
+        _materialize(kkt_chain(V, M))
+        dt_sol = time.perf_counter() - t0
+        gflops = 2.0 * B * n * n * K / dt_sol / 1e9
+        kkt_solves_per_iter_s = B * K / dt_sol
+        result['kkt_gemm_gflops_f32'] = round(gflops, 1)
+        result['kkt_sol_iters_per_s_B'] = round(kkt_solves_per_iter_s, 1)
+        mean_it = max(result['mean_iters'], 1.0)
+        result['kkt_sol_solves_per_s_at_mean_iters'] = round(
+            kkt_solves_per_iter_s / mean_it, 1)
+
+    if os.environ.get('BENCH_EXTRA', '1') != '0':
+        # secondary device benches (VERDICT r1 items 3-4): SOCP family on
+        # the IPM engine and the long-horizon charging family on the
+        # block-banded engine -- each guarded so a failure cannot take down
+        # the headline metric
+        try:
+            result.update(_bench_socp_adp(jax, jnp, dtype))
+        except Exception as e:
+            print(f'# socp bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr, flush=True)
+        try:
+            result.update(_bench_charging_banded(jax, jnp, dtype))
+        except Exception as e:
+            print(f'# charging bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr, flush=True)
+
     print(json.dumps(result))
+
+
+def _bench_socp_adp(jax, jnp, dtype):
+    """ADP SOCP family (reference tests/test_E2E_SOCP.py:15-35) on the
+    conic IPM engine ('schur' KKT mode on TPU), B distinct instances."""
+    import numpy as np
+    from problems import ADP_problem, assign_ADP
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.runtime.solver import CompiledConicSolver
+
+    prob = assign_ADP(ADP_problem())
+    fam = canonicalize(prob)
+    B = int(os.environ.get('BENCH_SOCP_BATCH', '1024'))
+    rng = np.random.default_rng(1)
+    base = fam.pack_theta(params=prob.parameters())
+    fi = [pi for pi in fam.param_info if pi.name == 'f'][0]
+    theta = np.tile(base, (B, 1))
+    theta[:, fi.offset:fi.offset + fi.flat_size] *= rng.uniform(
+        0.5, 1.5, (B, fi.flat_size))
+    solver = CompiledConicSolver(fam, dtype=dtype)
+    t0 = time.perf_counter()
+    out = solver.solve_batch(theta)
+    _materialize(out['obj'])
+    print(f'# socp compile+first: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr, flush=True)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solver.solve_batch(theta)
+        _materialize(out['obj'])
+    dt = time.perf_counter() - t0
+    return {
+        'socp_adp_solves_per_s': round(B * reps / dt, 1),
+        'socp_adp_batch': B,
+        'socp_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'socp_mean_iters': float(np.mean(np.asarray(out['iters']))),
+    }
+
+
+def _bench_charging_banded(jax, jnp, dtype):
+    """Charging T=1440 QP (reference examples/charging.ipynb) on the
+    block-banded ADMM engine -- first device validation of the banded
+    path (VERDICT r1 item 4)."""
+    import numpy as np
+    import cvxpygen_tpu as ct
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.runtime.solver import CompiledBandedQPSolver
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+
+    T = int(os.environ.get('BENCH_CHARGING_T', '1440'))
+    u = ct.Variable(T, name='u')
+    qv = ct.Variable(T + 1, name='q')
+    p = ct.Parameter(T, nonneg=True, name='p')
+    s = ct.Parameter(T, nonneg=True, name='s')
+    D = ct.Parameter(nonneg=True, name='D')
+    C = ct.Parameter(nonneg=True, name='C')
+    Q = ct.Parameter(nonneg=True, name='Q')
+    gamma = ct.Parameter(nonneg=True, name='gamma')
+    objective = ct.Minimize(p @ u + s @ ct.abs(u)
+                            + gamma * ct.sum_squares(u))
+    constraints = [qv[1:] == qv[:-1] + u, -D <= u, u <= C,
+                   ct.Constant(0) <= qv, qv <= Q,
+                   qv[0] == 0, qv[T] == Q]
+    prob = ct.Problem(objective, constraints)
+    p.value = np.concatenate((
+        3 * np.ones(int(3 * T / 24)), 5 * np.ones(int(7 * T / 24)),
+        1 * np.ones(T - int(3 * T / 24) - int(7 * T / 24))))
+    s.value = 0.1 * p.value
+    Q.value = 1.0
+    C.value = 3 * Q.value / T
+    D.value = 2 * C.value
+    gamma.value = 100.0
+    fam = canonicalize(prob)
+    B = int(os.environ.get('BENCH_CHARGING_BATCH', '32'))
+    rng = np.random.default_rng(2)
+    base = fam.pack_theta(params=prob.parameters())
+    pi = [x for x in fam.param_info if x.name == 'p'][0]
+    theta = np.tile(base, (B, 1))
+    theta[:, pi.offset:pi.offset + pi.flat_size] *= rng.uniform(
+        0.8, 1.2, (B, pi.flat_size))
+    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000,
+                      check_interval=25)
+    solver = CompiledBandedQPSolver(fam, settings=st, dtype=dtype)
+    t0 = time.perf_counter()
+    out = solver.solve_batch(theta)
+    _materialize(out['obj'])
+    print(f'# charging compile+first: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr, flush=True)
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solver.solve_batch(theta)
+        _materialize(out['obj'])
+    dt = time.perf_counter() - t0
+    return {
+        'charging_T': T,
+        'charging_solves_per_s': round(B * reps / dt, 1),
+        'charging_batch': B,
+        'charging_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'charging_mean_iters': float(np.mean(np.asarray(out['iters']))),
+    }
 
 
 if __name__ == '__main__':

@@ -32,6 +32,24 @@ _SETTING_ALIASES = {
 }
 
 
+def _pack_theta_cached(fam, prob, updated_params, cached):
+    """Theta caching honoring ``updated_params`` (parity: the reference's
+    generated update flags, templates/cpg_solver.py.jinja2:43-51 -- when a
+    param list is given, only those entries of the cached theta are
+    refreshed)."""
+    if cached is None or updated_params is None:
+        return fam.pack_theta(params=prob.parameters())
+    theta = cached
+    for pi in fam.param_info:
+        if pi.name in updated_params:
+            src = [p for p in prob.parameters() if p.id == pi.pid]
+            flat = (src[0].flatten_value() if src else
+                    fam.pack_theta(params=prob.parameters())
+                    [pi.offset:pi.offset + pi.flat_size])
+            theta[pi.offset:pi.offset + pi.flat_size] = flat
+    return theta
+
+
 class CpgRuntime:
     def __init__(self, family: Family, solver_name='ADMM', prefix='',
                  gradient=False, enable_settings=None, dtype=None):
@@ -43,6 +61,13 @@ class CpgRuntime:
         self.requested_solver = solver_name
         self._theta = None
         self._ctx = None  # last-solve context for gradients
+        # warm-start state persisted across cpg_solve calls (parity:
+        # reference OSQP warm_starting default-ON with the previous solution
+        # living in the static workspace, reference osqp.py:102-115, :77)
+        import inspect
+        self._supports_warm = 'x0' in inspect.signature(
+            self.solver.solve_batch).parameters
+        self._warm = None
 
     # -- settings -------------------------------------------------------
     def _settings(self, kwargs):
@@ -69,17 +94,8 @@ class CpgRuntime:
 
     # -- theta caching with updated_params ------------------------------
     def _pack(self, prob, updated_params):
-        fam = self.family
-        if self._theta is None or updated_params is None:
-            self._theta = fam.pack_theta(params=prob.parameters())
-        else:
-            for pi in fam.param_info:
-                if pi.name in updated_params:
-                    src = [p for p in prob.parameters() if p.id == pi.pid]
-                    flat = (src[0].flatten_value() if src else
-                            fam.pack_theta(params=prob.parameters())
-                            [pi.offset:pi.offset + pi.flat_size])
-                    self._theta[pi.offset:pi.offset + pi.flat_size] = flat
+        self._theta = _pack_theta_cached(self.family, prob, updated_params,
+                                         self._theta)
         return self._theta
 
     # -- main solve (method='CPG') --------------------------------------
@@ -89,9 +105,15 @@ class CpgRuntime:
         st = self._settings(kwargs)
         theta = self._pack(prob, updated_params)
         t0 = time.perf_counter()
-        out = self.solver.solve_batch(theta[None, :], settings=st)
+        warm = {}
+        if (self._supports_warm and self._warm is not None
+                and getattr(st, 'warm_starting', False)):
+            warm = dict(x0=self._warm[0], y0=self._warm[1])
+        out = self.solver.solve_batch(theta[None, :], settings=st, **warm)
         out = {k: np.asarray(v) for k, v in out.items()}
         solve_time = time.perf_counter() - t0
+        if self._supports_warm:
+            self._warm = (out['x'], out['y'])
         fam = self.family
         obj = float(out['obj'][0] + out['d'][0])
         if fam.is_maximization:
@@ -262,8 +284,18 @@ class ExplicitRuntime:
                                  want_dual=(self.explicit == 2))
 
     def cpg_solve(self, prob, updated_params=None, **kwargs):
+        # parity with CpgRuntime: honor updated_params theta caching and
+        # warn on unknown settings (the explicit evaluator has no runtime
+        # iteration settings -- reference pdaqp has none either)
+        kwargs.pop('verbose', None)
+        for k in kwargs:
+            import warnings
+            warnings.warn(f'ignoring unknown setting {k!r} '
+                          '(explicit solver has no runtime settings)')
         fam = self.family
-        theta = fam.pack_theta(params=prob.parameters())
+        self._theta_cache = _pack_theta_cached(
+            fam, prob, updated_params, getattr(self, '_theta_cache', None))
+        theta = self._theta_cache
         t0 = time.perf_counter()
         xs, y, region = self.solve_batch(theta[None, :])
         solve_time = time.perf_counter() - t0

@@ -36,7 +36,20 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
     (mpQP lookup) solver; ``gradient=True`` enables implicit
     differentiation; ``prefix`` namespaces the generated module.
     """
-    solver = (solver or ('ADMM' if not _needs_conic(problem) else 'IPM'))
+    fam = canonicalize(problem)
+    if solver is None:
+        # default-solver resolution from the CANONICALIZED family's cone
+        # content (not a syntactic expression walk): QP-form -> ADMM;
+        # SOC-only -> IPM; exp/PSD/pow -> conic ADMM (the engine with those
+        # cones -- mirrors how the reference routes cone families to solvers
+        # that accept them, reference scs.py:130-135 / clarabel.py:133-155)
+        if getattr(fam, 'n_exp', 0) or getattr(fam, 'psd_dims', ()) \
+                or getattr(fam, 'pow_alphas', ()):
+            solver = 'SCS'
+        elif fam.soc_dims:
+            solver = 'IPM'
+        else:
+            solver = 'ADMM'
     explicit_level = 0
     if isinstance(solver, str) and solver.lower() == 'explicit':
         # parity: 'explicit' -> (PDAQP, 1|2) (reference generator.py:161-173)
@@ -44,8 +57,6 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
         solver = 'EXPLICIT'
     if solver.upper() not in _SOLVER_ALIASES:
         raise ValueError(f'unsupported solver {solver!r}')
-
-    fam = canonicalize(problem)
     # gradient=True works for both QP-form (implicit KKT diff) and conic
     # families (projection-Jacobian diff, autodiff/conic_diff.py -- the
     # reference needs its two-stage OSQP-form construction for this,
@@ -93,22 +104,6 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
         problem.register_solve('CPG', mod.cpg_solve)
         return mod
     return None
-
-
-def _needs_conic(problem):
-    from .constraints import SOC
-    from .atoms import Norm
-    for c in problem.constraints:
-        if isinstance(c, SOC):
-            return True
-        for side in c.args:
-            stack = [side]
-            while stack:
-                e = stack.pop()
-                if isinstance(e, Norm) and e.p == 2.0:
-                    return True
-                stack.extend(e.args)
-    return False
 
 
 def _import_generated(code_dir):

@@ -155,6 +155,50 @@ def canon_batch(jf: JaxFamily, theta):
     return dict(P=P, q=q, d=d, A=A, b=b)
 
 
+def canon_batch_shared(jf: JaxFamily, theta):
+    """Shared-P/A canonicalization: P (n, n) and A (m, n) from theta ROW 0,
+    q/b/d batched over all rows.
+
+    This is the device-side analogue of the reference's parameter-update
+    structure (reference cvxpygen/utils.py:348-467 analyze_pus /
+    write_update_structure + osqp.py:20-61 9-case update table): when the
+    updated parameters touch only vector canonical params, the reference's
+    generated C skips re-canonicalizing P/A and the solver keeps its
+    factorization.  Here the batched equivalent is canonicalizing P/A once
+    for the whole batch -- the caller (CompiledQPSolver.solve_batch) has
+    verified all batch rows share the P/A-relevant theta entries."""
+    B = theta.shape[0]
+    dtype = jf.maps.dtype
+    tt = jnp.concatenate(
+        [theta.astype(dtype), jnp.ones((B, 1), dtype=dtype)], axis=1)
+    n, m = jf.n, jf.m
+    mp = jf.maps
+    if jf.dense_mode:
+        oq = n * n
+        od = oq + n
+        oA = od + 1
+        ob = oA + m * n
+        P = (tt[:1] @ mp[:oq].T).reshape(n, n)
+        A = (tt[:1] @ mp[oA:ob].T).reshape(m, n)
+    else:
+        oq = jf.nP
+        od = oq + n
+        oA = od + 1
+        ob = oA + jf.nA
+        pv = (tt[:1] @ mp[:oq].T)[0]
+        av = (tt[:1] @ mp[oA:ob].T)[0]
+        P = jnp.zeros((n, n), dtype).at[jf.P_ij[:, 0], jf.P_ij[:, 1]].add(
+            pv, unique_indices=True)
+        A = jnp.zeros((m, n), dtype).at[jf.A_ij[:, 0], jf.A_ij[:, 1]].add(
+            av, unique_indices=True)
+    q = tt @ mp[oq:od].T
+    d = (tt @ mp[od:oA].T)[:, 0]
+    b = tt @ mp[ob:].T
+    if jf.d_quad is not None:
+        d = d + jnp.einsum('bp,pq,bq->b', tt, jf.d_quad, tt)
+    return dict(P=P, q=q, d=d, A=A, b=b)
+
+
 def canon_batch_sparse(jf: JaxFamily, theta):
     """theta (B, p) -> dict(pvals, q, d, avals, b): canonical NONZERO
     values only (no dense P/A materialization) -- the input format of the

@@ -18,7 +18,24 @@ import numpy as np
 from ..canon.canonicalizer import Family, retrieve_duals, retrieve_primal
 from ..problem import SolverStats
 from ..solvers.admm import ADMMSettings, admm_solve
-from .jax_family import JaxFamily, canon_batch, qp_bounds_batch
+from .jax_family import (JaxFamily, canon_batch, canon_batch_shared,
+                         qp_bounds_batch)
+
+
+def pa_theta_mask(family: Family):
+    """Boolean mask (p,) of theta entries with nonzero coefficients in the
+    canonical P or A maps -- the adjacency the reference computes as
+    ``user_p_name_to_canon_outdated`` restricted to matrix canonical params
+    (reference canonicalizer.py:283-332).  Entries outside the mask touch
+    only q/b/d: a batch that varies only there shares P/A and the KKT
+    factorization (reference update-table cases qlu/ql/qu/... in
+    osqp.py:20-61 never refactorize)."""
+    mask = np.zeros(family.p, dtype=bool)
+    for M in (family.P_map, family.A_map):
+        if M is not None and M.shape[0]:
+            col = np.asarray(np.abs(M[:, :family.p]).sum(axis=0)).ravel()
+            mask |= col > 0
+    return mask
 
 
 class CompiledQPSolver:
@@ -40,12 +57,47 @@ class CompiledQPSolver:
         # jf passes as a pytree ARGUMENT (not a closure constant) so XLA does
         # not constant-fold the stacked map matrices at compile time
         self._solve_jit = jax.jit(_qp_solve_raw, static_argnames=('settings',))
+        self._solve_shared_jit = jax.jit(_qp_solve_shared_raw,
+                                         static_argnames=('settings',))
+        self._pa_mask = pa_theta_mask(family)
 
     def solve_batch(self, theta, settings: ADMMSettings = None,
-                    x0=None, y0=None):
+                    x0=None, y0=None, shared_PA='auto'):
+        """Batched solve.  ``shared_PA`` selects the shared-KKT fast path
+        (one factorization for the whole batch; every per-iteration matvec
+        is a full-batch MXU GEMM -- see solvers/admm_shared.py):
+
+        - ``'auto'``: used when the family's P/A maps are theta-independent,
+          or when ``theta`` is a concrete host array whose P/A-relevant
+          columns are identical across the batch (the dominant deployed
+          pattern: receding-horizon MPC varying only x_init, reference
+          examples/MPC.ipynb);
+        - ``True``: caller asserts all batch rows share canonical P/A
+          (needed when theta is a traced device array);
+        - ``False``: always the per-instance path."""
+        theta_in = theta
         theta = jnp.atleast_2d(jnp.asarray(theta))
         st = settings or self.settings
+        if self._use_shared(theta_in, shared_PA):
+            return self._solve_shared_jit(self.jf, theta, x0, y0, settings=st)
         return self._solve_jit(self.jf, theta, x0, y0, settings=st)
+
+    def _use_shared(self, theta, shared_PA):
+        if shared_PA is True:
+            return True
+        if shared_PA != 'auto':
+            return False
+        if not self._pa_mask.any():
+            return True
+        theta = np.asarray(theta) if isinstance(theta, (np.ndarray, list)) \
+            else None
+        if theta is None:
+            return False
+        theta = np.atleast_2d(theta)
+        if theta.shape[0] <= 1:
+            return True
+        cols = theta[:, self._pa_mask]
+        return bool(np.all(cols == cols[:1]))
 
     # -- single-instance convenience (cpg_solve parity) -----------------
     def solve_into_problem(self, problem, **setting_overrides):
@@ -62,7 +114,7 @@ class CompiledQPSolver:
         obj = float(out['obj'][0] + out['d'][0])
         if fam.is_maximization:
             obj = -obj
-        status = 'optimal' if bool(out['solved'][0]) else 'max_iter'
+        status = _status_str(out)
         primal = retrieve_primal(fam, out['x'][0])
         duals = retrieve_duals(fam, out['y_canon'][0])
         stats = SolverStats(solver_name=self.solver_name,
@@ -71,11 +123,33 @@ class CompiledQPSolver:
         return problem.unpack_results(status, obj, primal, duals, stats)
 
 
+def _status_str(out):
+    """Status-code -> string mapping (reference status surface,
+    utils.py:977-985)."""
+    if 'status' not in out:
+        return 'optimal' if bool(out['solved'][0]) else 'max_iter'
+    code = int(out['status'][0])
+    return {1: 'optimal', 0: 'max_iter', -3: 'infeasible',
+            -4: 'unbounded'}.get(code, 'solver_error')
+
+
 def _qp_solve_raw(jf: JaxFamily, theta, x0, y0, settings: ADMMSettings):
     data = canon_batch(jf, theta)
     l, u = qp_bounds_batch(jf, data['b'])
     res = admm_solve(data['P'], data['q'], data['A'], l, u,
                      jf.n_zero, settings, x0=x0, y0=y0)
+    res['d'] = data['d']
+    res['y_canon'] = -res['y']
+    return res
+
+
+def _qp_solve_shared_raw(jf: JaxFamily, theta, x0, y0,
+                         settings: ADMMSettings):
+    from ..solvers.admm_shared import admm_solve_shared
+    data = canon_batch_shared(jf, theta)
+    l, u = qp_bounds_batch(jf, data['b'])
+    res = admm_solve_shared(data['P'], data['q'], data['A'], l, u,
+                            jf.n_zero, settings, x0=x0, y0=y0)
     res['d'] = data['d']
     res['y_canon'] = -res['y']
     return res
@@ -154,7 +228,13 @@ class CompiledConicSolver:
     def __init__(self, family: Family, settings=None, dtype=None):
         from ..solvers.ipm import IPMSettings, ipm_solve
         self.family = family
-        self.settings = settings or IPMSettings()
+        if settings is None:
+            # precision-aware defaults: f32 (TPU) cannot reach the 1e-8
+            # x64 tolerances (IPMSettings.for_dtype)
+            dt = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                           else jnp.float32)
+            settings = IPMSettings.for_dtype(dt)
+        self.settings = settings
         self.jf = JaxFamily.from_family(family, dtype=dtype)
 
         def raw(jf, theta, settings):
@@ -189,7 +269,7 @@ class CompiledConicSolver:
         obj = float(out['obj'][0] + out['d'][0])
         if fam.is_maximization:
             obj = -obj
-        status = 'optimal' if bool(out['solved'][0]) else 'max_iter'
+        status = _status_str(out)
         primal = retrieve_primal(fam, out['x'][0])
         duals = retrieve_duals(fam, out['y_canon'][0])
         stats = SolverStats(solver_name=self.solver_name,

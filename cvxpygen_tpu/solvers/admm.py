@@ -302,7 +302,8 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         M = form_M(rho_vec)
         if kkt_mode == 'ns':
             if Minv_warm is None:
-                return newton_schulz_inverse(M, st.ns_iters)
+                return newton_schulz_inverse(M, st.ns_iters,
+                                             st.ns_f32_iters)
             return newton_schulz_warm(M, Minv_warm, st.ns_adapt_iters)
         Lc = jnp.linalg.cholesky(M)
         if kkt_mode == 'inv':

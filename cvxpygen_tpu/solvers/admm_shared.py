@@ -127,6 +127,7 @@ def _admm_solve_shared_impl(P, q, A, l, u, n_eq, st: ADMMSettings,
     kkt_mode = st.kkt_solver
     if kkt_mode == 'auto':
         kkt_mode = 'ns' if jax.default_backend() not in ('cpu',) else 'inv'
+    use_chol = (kkt_mode == 'chol')
 
     def factor(rho_vec, Minv_warm=None):
         M = form_M(rho_vec)
@@ -137,30 +138,71 @@ def _admm_solve_shared_impl(P, q, A, l, u, n_eq, st: ADMMSettings,
             return newton_schulz_warm(M[None], Minv_warm[None],
                                       st.ns_adapt_iters)[0]
         Lc = jnp.linalg.cholesky(M)
+        if use_chol:
+            # keep the factor; triangular solves every iteration
+            # (reference-like mode, matching admm.py semantics)
+            return Lc
         return jax.scipy.linalg.cho_solve(
             (Lc, True), jnp.eye(n, dtype=dtype))
 
     Minv0 = factor(rho_base)
+
+    if x0 is not None:
+        x_start = (D_inv * x0).astype(dtype)
+        z_start = E * (x0.astype(dtype) @ A.T)
+    else:
+        x_start = jnp.zeros((B, n), dtype)
+        z_start = jnp.zeros((B, m), dtype)
+    y_start = (c * E_inv * y0.astype(dtype)
+               if y0 is not None else jnp.zeros((B, m), dtype))
+
+    # full-solve Pallas kernel (ops/admm_shared_kernel.py): the whole solve
+    # per chunk in one pallas_call, state + shared matrices VMEM-resident,
+    # per-chunk early termination.  'auto' enables it on TPU -- the shared
+    # path has no per-instance factorization cost to trade off.
+    if st.use_pallas in ('auto', 'always', 'full', 'full_interpret') \
+            and kkt_mode == 'ns':
+        from ..ops.admm_shared_kernel import (admm_shared_solve_pallas,
+                                              pick_shared_chunk)
+        interp = (st.use_pallas == 'full_interpret')
+        if (jax.default_backend() == 'tpu' or interp) \
+                and pick_shared_chunk(B, m, n, dtype) is not None:
+            M0 = form_M(rho_base)
+            x, z, y, it_vec, status, rp, rd = admm_shared_solve_pallas(
+                Ps, qs, As, ls, us, rho_base, D, E, c_inv, M0, Minv0,
+                x_start, z_start, y_start,
+                sigma=st.sigma, alpha=st.alpha,
+                eps_abs=st.eps_abs, eps_rel=st.eps_rel,
+                check_interval=st.check_interval, max_iter=st.max_iter,
+                ns_adapt_iters=st.ns_adapt_iters, adaptive=st.adaptive_rho,
+                rho_tol=st.adaptive_rho_tolerance,
+                kkt_refine=st.kkt_refine,
+                adapt_until=st.adaptive_rho_until, interpret=interp)
+            x_u = D * x
+            z_u = E_inv * z
+            y_u = c_inv * E * y
+            obj = c_inv * (0.5 * jnp.einsum('bi,ij,bj->b', x, Ps, x)
+                           + jnp.sum(qs * x, axis=1))
+            obj = jnp.where(status == -3, jnp.inf, obj)
+            obj = jnp.where(status == -4, -jnp.inf, obj)
+            return dict(x=x_u, y=y_u, z=z_u, obj=obj, iters=it_vec,
+                        pri_res=rp, dua_res=rd, solved=(status == 1),
+                        status=status)
 
     def M_matvec(rho_vec, x):
         Ax = x @ As.T
         return x @ Ps.T + st.sigma * x + (rho_vec * Ax) @ As
 
     def kkt_apply(Minv, rho_vec, rhs):
+        if use_chol:
+            return jax.scipy.linalg.cho_solve((Minv, True), rhs.T).T
         xt = rhs @ Minv.T
         for _ in range(st.kkt_refine):
             r = rhs - M_matvec(rho_vec, xt)
             xt = xt + r @ Minv.T
         return xt
 
-    if x0 is not None:
-        x_init = (D_inv * x0).astype(dtype)
-        z_init = E * (x0.astype(dtype) @ A.T)
-    else:
-        x_init = jnp.zeros((B, n), dtype)
-        z_init = jnp.zeros((B, m), dtype)
-    y_init = (c * E_inv * y0.astype(dtype)
-              if y0 is not None else jnp.zeros((B, m), dtype))
+    x_init, z_init, y_init = x_start, z_start, y_start
 
     def one_iter(carry, Minv, rho_vec):
         x, z, y = carry

@@ -50,22 +50,51 @@ def test_updated_params_caching(tmp_code_dir):
     prob = make()
     assign(prob, seed=1)
     cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP')
-    v1 = prob.solve(method='CPG')
+    # warm_starting off: it is default-ON (reference osqp.py:110), and a
+    # warm-started solve terminates at a tolerance-different point, which
+    # would mask the exact-caching equality this test asserts
+    v1 = prob.solve(method='CPG', warm_starting=False)
     b_old = prob.param_dict['b'].value.copy()
     # change BOTH params but declare only 'b' updated: A change is ignored
     prob.param_dict['b'].value = b_old + 0.1
     A_cached = prob.param_dict['A'].value.copy()
     prob.param_dict['A'].value = A_cached * 5
-    v2 = prob.solve(method='CPG', updated_params=['b'])
+    v2 = prob.solve(method='CPG', updated_params=['b'],
+                    warm_starting=False)
     # now restore A and declare it: should equal full repack
     prob.param_dict['A'].value = A_cached * 5
-    v3 = prob.solve(method='CPG', updated_params=['A', 'b'])
+    v3 = prob.solve(method='CPG', updated_params=['A', 'b'],
+                    warm_starting=False)
     assert v2 != pytest.approx(v3, abs=1e-9) or True  # different data paths
     # v2 must equal solving with old A, new b
     prob.param_dict['A'].value = A_cached
-    v_check = prob.solve(method='CPG', updated_params=['A'])
+    v_check = prob.solve(method='CPG', updated_params=['A'],
+                         warm_starting=False)
     # (v_check solves with old A and b + 0.1)
     assert abs(v2 - v_check) < 1e-8
+
+
+def test_warm_start_through_cpg(tmp_code_dir):
+    """warm_starting is default-ON and persists the previous solution
+    across cpg_solve calls (reference osqp.py:102-115 + static workspace
+    :77): the second identical solve takes fewer iterations."""
+    make, assign = ALL['MPC']
+    prob = make()
+    assign(prob, seed=0)
+    cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP')
+    prob.solve(method='CPG')
+    it_cold = prob.solver_stats.num_iters
+    prob.solve(method='CPG')
+    it_warm = prob.solver_stats.num_iters
+    assert it_warm < it_cold, (it_cold, it_warm)
+    # receding-horizon style: a small x_init change stays cheap
+    prob.param_dict['x_init'].value = \
+        prob.param_dict['x_init'].value + 0.01
+    prob.solve(method='CPG', updated_params=['x_init'])
+    assert prob.solver_stats.num_iters <= it_cold
+    # warm_starting=False disables it (cold again)
+    prob.solve(method='CPG', warm_starting=False)
+    assert prob.solver_stats.num_iters >= it_warm
 
 
 def test_readme_artifact(tmp_code_dir):
