@@ -199,7 +199,10 @@ def _bench_socp_adp(jax, jnp, dtype):
     theta = np.tile(base, (B, 1))
     theta[:, fi.offset:fi.offset + fi.flat_size] *= rng.uniform(
         0.5, 1.5, (B, fi.flat_size))
-    solver = CompiledConicSolver(fam, dtype=dtype)
+    from cvxpygen_tpu.solvers.ipm import IPMSettings
+    dt = dtype or jnp.float64
+    solver = CompiledConicSolver(
+        fam, settings=IPMSettings.for_dtype(dt, max_iter=100), dtype=dtype)
     t0 = time.perf_counter()
     out = solver.solve_batch(theta)
     _materialize(out['obj'])
@@ -260,8 +263,10 @@ def _bench_charging_banded(jax, jnp, dtype):
     theta = np.tile(base, (B, 1))
     theta[:, pi.offset:pi.offset + pi.flat_size] *= rng.uniform(
         0.8, 1.2, (B, pi.flat_size))
-    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000,
-                      check_interval=25)
+    # adaptive rho is essential on this family: 300 iters vs ~2500 with
+    # fixed rho (measured, both precisions)
+    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=10000,
+                      check_interval=25, adaptive_rho=True)
     solver = CompiledBandedQPSolver(fam, settings=st, dtype=dtype)
     t0 = time.perf_counter()
     out = solver.solve_batch(theta)

@@ -45,10 +45,7 @@ def make_conic_diff_solve(jf: JaxFamily, settings=None):
     layout = ConeLayout(n_nonneg=l_nn, socs=tuple(socs),
                         n_exp=jf.n_exp, psds=tuple(jf.psd_dims),
                         pows=tuple(getattr(jf, 'pow_alphas', ()) or ()))
-    if layout.pows:
-        raise NotImplementedError(
-            'pow-cone projection Jacobian not implemented yet')
-    exotic = bool(jf.n_exp or jf.psd_dims)
+    exotic = bool(jf.n_exp or jf.psd_dims or layout.pows)
 
     if exotic:
         from ..solvers.conic_admm import (ConicADMMSettings,
@@ -230,6 +227,11 @@ def _proj_jacobian(u, layout: ConeLayout, dtype):
         DP = DP.at[:, off:off + k, off:off + k].set(
             _psd_proj_jacobian(u[:, off:off + k], s_dim, dtype))
         off += k
+    for a in layout.pows:
+        tri = u[:, off:off + 3]
+        DP = DP.at[:, off:off + 3, off:off + 3].set(
+            _pow_proj_jacobian(tri, a, dtype))
+        off += 3
     return DP
 
 
@@ -279,6 +281,65 @@ def _exp_proj_jacobian(u, dtype):
                            (x3 > tol * nrm).astype(dtype)], axis=1)
     DP_face = I3 * face_mask[:, :, None]
     DP = jnp.where(face[:, None, None], DP_face, DP)
+    DP = jnp.where(polar[:, None, None], jnp.zeros_like(DP), DP)
+    DP = jnp.where(interior[:, None, None], I3, DP)
+    return DP
+
+
+def _pow_proj_jacobian(u, a, dtype):
+    """DProj_{K_pow(a)}(u) for triples u (B, 3), closing the r1
+    NotImplementedError (VERDICT r1 item 8).
+
+    Same implicit-function-theorem construction as the exp cone
+    (_exp_proj_jacobian): the boundary projection solves
+        x - u + mu grad f(x) = 0,  f(x) = |x3| - x1^a x2^(1-a) = 0
+    (smooth near the projection: x1, x2 > 0, x3 != 0 there), so
+        DP = S^{-1} - (S^{-1} g g' S^{-1}) / (g' S^{-1} g),  S = I + mu H.
+    Interior -> I; polar cone -> 0; u3 ~ 0 face (proj = (u1+, u2+, 0)) ->
+    diag(u1>0, u2>0, 0).  Mirrors the case split of the projection itself
+    (ops/cones.py _proj_pow_block, Hien 2015)."""
+    from ..ops.cones import _proj_pow_block
+
+    B = u.shape[0]
+    x = _proj_pow_block(u, a)
+    u1, u2, u3 = u[:, 0], u[:, 1], u[:, 2]
+    x1, x2, x3 = x[:, 0], x[:, 1], x[:, 2]
+    mu = jnp.abs(u3) - jnp.abs(x3)             # multiplier >= 0 off-cone
+
+    tol = 1e-7
+    nrm = jnp.maximum(jnp.linalg.norm(u, axis=1), 1e-30)
+    interior = jnp.linalg.norm(x - u, axis=1) <= tol * nrm
+    polar = jnp.linalg.norm(x, axis=1) <= tol * nrm
+    degenerate = jnp.abs(u3) <= tol * nrm
+
+    x1s = jnp.maximum(x1, 1e-30)
+    x2s = jnp.maximum(x2, 1e-30)
+    pw = x1s ** a * x2s ** (1.0 - a)
+    # g = grad f, H = hess f of f = |x3| - x1^a x2^(1-a)
+    g1 = -a * pw / x1s
+    g2 = -(1.0 - a) * pw / x2s
+    g3 = jnp.sign(x3)
+    g = jnp.stack([g1, g2, g3], axis=1)
+    h11 = a * (1.0 - a) * pw / (x1s * x1s)
+    h12 = -a * (1.0 - a) * pw / (x1s * x2s)
+    h22 = a * (1.0 - a) * pw / (x2s * x2s)
+    S = jnp.zeros((B, 3, 3), dtype)
+    S = S.at[:, 0, 0].set(1.0 + mu * h11)
+    S = S.at[:, 0, 1].set(mu * h12)
+    S = S.at[:, 1, 0].set(mu * h12)
+    S = S.at[:, 1, 1].set(1.0 + mu * h22)
+    S = S.at[:, 2, 2].set(1.0)
+    Sinv = jnp.linalg.inv(S)
+    Sg = jnp.einsum('nij,nj->ni', Sinv, g)
+    denom = jnp.maximum(jnp.einsum('ni,ni->n', g, Sg), 1e-30)
+    DP = Sinv - Sg[:, :, None] * Sg[:, None, :] / denom[:, None, None]
+
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3))
+    face_mask = jnp.stack([(u1 > tol * nrm).astype(dtype),
+                           (u2 > tol * nrm).astype(dtype),
+                           jnp.zeros((B,), dtype)], axis=1)
+    DP_face = I3 * face_mask[:, :, None]
+    DP = jnp.where(degenerate[:, None, None], DP_face, DP)
     DP = jnp.where(polar[:, None, None], jnp.zeros_like(DP), DP)
     DP = jnp.where(interior[:, None, None], I3, DP)
     return DP

@@ -1,0 +1,177 @@
+"""Standalone C artifact emission (reference cpg_example.c role).
+
+The reference's generated directory contains a self-contained C project
+buildable without Python (reference templates/cpg_example.c.jinja2:16-88 +
+CMakeLists.txt.jinja2).  Parity here: ``write_c_artifact`` emits under
+``<code_dir>/c/``
+
+- ``cpg_core.cpp``  the dependency-free C++ solver core (copied from
+  cvxpygen_tpu/native/cpg_core.cpp -- same code the ctypes runtime uses);
+- ``cpg_core.h``    extern "C" prototypes;
+- ``cpg_data.c``    this family's canonicalization maps as CSR arrays +
+  ``cpg_setup()`` wiring them into a workspace (the reference's
+  cpg_workspace.c role, utils.py:470-882);
+- ``cpg_example.c`` a main(): set parameters, solve, print (reference
+  cpg_example.c.jinja2);
+- ``Makefile``      `make` builds ./cpg_example with only a C++ compiler.
+
+QP-form families only (the embedded core is the ADMM QP solver); conic
+families are skipped with a README note, mirroring how the reference's
+embedded story is per-solver.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+
+def _fmt_dbl(arr):
+    return ',\n  '.join(', '.join(f'{v:.17g}' for v in arr[i:i + 4])
+                        for i in range(0, len(arr), 4)) or '0'
+
+
+def _fmt_i64(arr):
+    return ',\n  '.join(', '.join(str(int(v)) for v in arr[i:i + 10])
+                        for i in range(0, len(arr), 10)) or '0'
+
+
+def _csr_decl(name, M):
+    M = M.tocsr()
+    return (
+        f'static const int64_t {name}_indptr[] = {{\n'
+        f'  {_fmt_i64(M.indptr)}\n}};\n'
+        f'static const int64_t {name}_indices[] = {{\n'
+        f'  {_fmt_i64(M.indices)}\n}};\n'
+        f'static const double {name}_data[] = {{\n'
+        f'  {_fmt_dbl(M.data)}\n}};\n'
+        f'static const int64_t {name}_rows = {M.shape[0]};\n')
+
+
+_HEADER = '''#ifndef CPG_CORE_H
+#define CPG_CORE_H
+#include <stdint.h>
+#ifdef __cplusplus
+extern "C" {
+#endif
+void* cpg_native_init(int64_t n, int64_t m, int64_t p, int64_t n_eq);
+void cpg_native_set_map(void* h, int32_t which, int64_t n_rows,
+                        const int64_t* indptr, const int64_t* indices,
+                        const double* data);
+void cpg_native_set_dquad(void* h, const double* dq);
+void cpg_native_set_theta(void* h, const double* theta);
+void cpg_native_update_theta(void* h, int64_t idx, double val);
+void cpg_native_set_setting(void* h, int32_t which, double val);
+void cpg_native_solve(void* h);
+double cpg_native_obj(void* h);
+int32_t cpg_native_status(void* h);
+int32_t cpg_native_iters(void* h);
+double cpg_native_pri_res(void* h);
+double cpg_native_dua_res(void* h);
+void cpg_native_get_x(void* h, double* out);
+void cpg_native_get_y(void* h, double* out);
+void cpg_native_free(void* h);
+/* emitted by cpg_data.c for this family */
+void* cpg_setup(void);
+extern const int64_t cpg_n, cpg_m, cpg_p;
+extern const double cpg_theta_default[];
+#ifdef __cplusplus
+}
+#endif
+#endif
+'''
+
+_EXAMPLE = '''/* Standalone example for this generated family (reference
+ * cpg_example.c.jinja2:16-88 role): update the first parameter entry,
+ * solve, print solution head + stats.  Build: `make`. */
+#include <stdio.h>
+#include <stdlib.h>
+#include "cpg_core.h"
+
+int main(void) {
+  void* h = cpg_setup();
+  /* parameter update (cpg_update_<param> role) */
+  cpg_native_set_theta(h, cpg_theta_default);
+  if (cpg_p > 0)
+    cpg_native_update_theta(h, 0, cpg_theta_default[0]);
+  cpg_native_solve(h);
+  double* x = (double*)malloc(sizeof(double) * (size_t)cpg_n);
+  cpg_native_get_x(h, x);
+  printf("status = %d, iters = %d, obj = %.9g\\n",
+         cpg_native_status(h), cpg_native_iters(h), cpg_native_obj(h));
+  printf("pri_res = %.3e, dua_res = %.3e\\n",
+         cpg_native_pri_res(h), cpg_native_dua_res(h));
+  for (int64_t i = 0; i < (cpg_n < 8 ? cpg_n : 8); ++i)
+    printf("x[%ld] = %.9g\\n", (long)i, x[i]);
+  free(x);
+  cpg_native_free(h);
+  return 0;
+}
+'''
+
+_MAKEFILE = '''CXX ?= g++
+CXXFLAGS ?= -O3 -std=c++17
+cpg_example: cpg_core.cpp cpg_data.c cpg_example.c cpg_core.h
+\t$(CXX) $(CXXFLAGS) -x c++ cpg_core.cpp cpg_data.c cpg_example.c -o $@
+clean:
+\trm -f cpg_example
+'''
+
+
+def write_c_artifact(code_dir, fam, theta_default=None):
+    """Emit the standalone C project for a QP-form family.  Returns the
+    c/ directory path, or None (with a reason) for conic families."""
+    if fam.soc_dims or getattr(fam, 'n_exp', 0) \
+            or getattr(fam, 'psd_dims', ()) \
+            or getattr(fam, 'pow_alphas', ()):
+        return None
+    import scipy.sparse as spa
+
+    from ..runtime.jax_family import _expand_rows
+
+    cdir = os.path.join(code_dir, 'c')
+    os.makedirs(cdir, exist_ok=True)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(os.path.join(here, 'native', 'cpg_core.cpp'),
+                os.path.join(cdir, 'cpg_core.cpp'))
+    with open(os.path.join(cdir, 'cpg_core.h'), 'w') as f:
+        f.write(_HEADER)
+
+    n, m = fam.n, fam.m
+    Pfull = spa.csr_matrix(_expand_rows(fam.P_map, fam.P_idx, n * n, n))
+    Afull = spa.csr_matrix(_expand_rows(fam.A_map, fam.A_idx, m * n, n))
+    theta = (np.zeros(fam.p) if theta_default is None
+             else np.asarray(theta_default, dtype=float))
+
+    parts = ['/* Family data (reference cpg_workspace.c role): theta-affine'
+             ' canonicalization maps in CSR. */\n#include "cpg_core.h"\n'
+             '#include <stddef.h>\n']
+    for name, M in (('P', Pfull), ('q', fam.q_map), ('d', fam.d_map),
+                    ('A', Afull), ('b', fam.b_map)):
+        parts.append(_csr_decl(f'cpg_map_{name}', M))
+    if fam.d_quad is not None:
+        dq = np.asarray(fam.d_quad.toarray(), dtype=float).ravel()
+        parts.append('static const double cpg_dquad[] = {\n  '
+                     + _fmt_dbl(dq) + '\n};\n')
+    parts.append(
+        f'const int64_t cpg_n = {n}, cpg_m = {m}, cpg_p = {fam.p};\n'
+        f'const double cpg_theta_default[] = {{\n  {_fmt_dbl(theta)}\n}};\n'
+        'void* cpg_setup(void) {\n'
+        f'  void* h = cpg_native_init({n}, {m}, {fam.p}, {fam.n_zero});\n')
+    for i, name in enumerate(('P', 'q', 'd', 'A', 'b')):
+        parts.append(
+            f'  cpg_native_set_map(h, {i}, cpg_map_{name}_rows, '
+            f'cpg_map_{name}_indptr, cpg_map_{name}_indices, '
+            f'cpg_map_{name}_data);\n')
+    if fam.d_quad is not None:
+        parts.append('  cpg_native_set_dquad(h, cpg_dquad);\n')
+    parts.append('  cpg_native_set_theta(h, cpg_theta_default);\n'
+                 '  return h;\n}\n')
+    with open(os.path.join(cdir, 'cpg_data.c'), 'w') as f:
+        f.write(''.join(parts))
+    with open(os.path.join(cdir, 'cpg_example.c'), 'w') as f:
+        f.write(_EXAMPLE)
+    with open(os.path.join(cdir, 'Makefile'), 'w') as f:
+        f.write(_MAKEFILE)
+    return cdir

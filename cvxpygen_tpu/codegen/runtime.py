@@ -176,7 +176,8 @@ class CpgRuntime:
         through the projection-Jacobian diff (autodiff/conic_diff.py)."""
         fam = self.family
         exotic = bool(getattr(fam, 'n_exp', 0)
-                      or getattr(fam, 'psd_dims', ()))
+                      or getattr(fam, 'psd_dims', ())
+                      or getattr(fam, 'pow_alphas', ()))
         if fam.soc_dims or exotic:
             import jax
             import jax.numpy as jnp
@@ -261,8 +262,10 @@ class ExplicitRuntime:
             self.data = _saved_data
         else:
             from ..solvers.explicit import (
-                build_explicit_data, enumerate_regions, extract_mpqp)
-            mp = extract_mpqp(family, theta_ref=theta_ref)
+                build_explicit_data, enumerate_regions, extract_mpqp,
+                measure_coverage)
+            mp = extract_mpqp(family, theta_ref=theta_ref,
+                              theta_box=opts.get('theta_box'))
             regions = enumerate_regions(
                 mp, max_regions=int(opts.get('max_regions', 500)))
             stored_idx = None
@@ -271,6 +274,17 @@ class ExplicitRuntime:
             self.data = build_explicit_data(
                 family, regions, mp, stored_idx=stored_idx,
                 dual=(self.explicit == 2), fp16=bool(opts.get('fp16', False)))
+            # unreached-domain report (VERDICT r1 item 7): sample the box
+            # and record the fraction covered by some region
+            self.data.coverage = measure_coverage(mp, regions)
+            if self.data.coverage < 0.999:
+                import warnings
+                warnings.warn(
+                    f'explicit lookup table covers only '
+                    f'{100 * self.data.coverage:.1f}% of the sampled '
+                    'parameter domain; queries in uncovered areas return '
+                    'the nearest region\'s feedback (raise max_regions or '
+                    'shrink the domain)')
         self._ctx = None
 
     @classmethod

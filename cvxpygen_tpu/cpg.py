@@ -83,7 +83,8 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
         with open(os.path.join(code_dir, 'explicit.pkl'), 'wb') as f:
             pickle.dump(rt.data, f)
         print(f'CVXPYgen-TPU explicit: {rt.data.n_regions} regions '
-              f'(max_regions={opts.get("max_regions", 500)})')
+              f'(max_regions={opts.get("max_regions", 500)}, sampled '
+              f'domain coverage {100 * rt.data.coverage:.1f}%)')
         opts.pop('stored_vars', None)  # consumed; not picklable
 
     cfg = dict(solver=solver.upper(), prefix=prefix, gradient=gradient,
@@ -92,9 +93,25 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
                             if isinstance(v, (int, float, str, bool))},
                explicit=explicit_level)
     _write_solver_module(code_dir, cfg)
-    _write_readme(code_dir, problem, fam, cfg)
     with open(os.path.join(code_dir, '__init__.py'), 'w') as f:
         f.write('')
+    # LICENSE in the artifact (parity: reference writer emits one,
+    # writer.py:77)
+    lic_src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'LICENSE')
+    if os.path.exists(lic_src):
+        shutil.copy(lic_src, os.path.join(code_dir, 'LICENSE'))
+    # standalone C project (parity: reference cpg_example.c +
+    # CMakeLists, buildable without Python); QP-form families only
+    c_dir = None
+    if not explicit_level:
+        from .codegen.emit_c import write_c_artifact
+        try:
+            theta0 = fam.pack_theta(params=problem.parameters())
+        except ValueError:
+            theta0 = None
+        c_dir = write_c_artifact(code_dir, fam, theta_default=theta0)
+    _write_readme(code_dir, problem, fam, cfg, c_dir=c_dir)
 
     print(f'CVXPYgen-TPU: generated solver package at {code_dir} '
           f'(solver={cfg["solver"]}, n={fam.n}, m={fam.m}, p={fam.p})')
@@ -171,15 +188,50 @@ def _write_solver_module(code_dir, cfg):
         f.write(_SOLVER_TEMPLATE % dict(cfg=json.dumps(cfg)))
 
 
-def _write_readme(code_dir, problem, fam, cfg):
+def _write_readme(code_dir, problem, fam, cfg, c_dir=None):
     """Observability artifact (parity: templates/README.html.jinja2 --
-    problem summary tables, API docs; reference utils.py:1455-1532)."""
+    problem summary tables, FILE TREE and API table; reference
+    utils.py:1455-1532)."""
     params_rows = ''.join(
         f'<tr><td>{pi.name}</td><td>{pi.shape}</td><td>{pi.flat_size}</td></tr>'
         for pi in fam.param_info)
     vars_rows = ''.join(
         f'<tr><td>{vi.name}</td><td>{vi.shape}</td><td>{vi.size}</td></tr>'
         for vi in fam.user_vars)
+
+    # file tree of the generated artifact (reference README lists files)
+    tree_lines = []
+    base = os.path.abspath(code_dir)
+    for root, dirs, files in os.walk(base):
+        dirs.sort()
+        rel = os.path.relpath(root, base)
+        depth = 0 if rel == '.' else rel.count(os.sep) + 1
+        if rel != '.':
+            tree_lines.append('  ' * (depth - 1) + os.path.basename(root) + '/')
+        for fn in sorted(files):
+            tree_lines.append('  ' * depth + fn)
+    tree_lines.append('README.html')
+    tree = '\n'.join(tree_lines)
+
+    api_rows = [
+        ('cpg_solve(prob, updated_params=None, **settings)',
+         "solve via problem.solve(method='CPG'); caches theta, "
+         'warm-starts, honors per-solver settings'),
+        ('cpg_gradient(prob)',
+         'implicit differentiation: var.gradient seeds -> param.gradient'),
+        ('forward(prob, ...) / backward(prob)',
+         'CVXPYlayers-style differentiable interface'),
+        ('_runtime.solver.solve_batch(theta)',
+         'batched jitted solve over theta (B, p); shared-KKT fast path '
+         'auto-detected when the batch varies only vector params'),
+    ]
+    if c_dir:
+        api_rows.append(('c/ (make && ./cpg_example)',
+                         'standalone C project: embedded solver core + '
+                         'family data, no Python required'))
+    api_table = ''.join(f'<tr><td><code>{a}</code></td><td>{b}</td></tr>'
+                        for a, b in api_rows)
+
     html = f"""<html><head><title>CVXPYgen-TPU generated solver</title></head>
 <body>
 <h1>CVXPYgen-TPU solver package</h1>
@@ -196,13 +248,19 @@ p = {fam.p} parameter entries.</p>
 <h2>Variables</h2>
 <table border=1><tr><th>name</th><th>shape</th><th>size</th></tr>
 {vars_rows}</table>
+<h2>Generated files</h2>
+<pre>
+{tree}
+</pre>
+<h2>API</h2>
+<table border=1><tr><th>entry point</th><th>role</th></tr>
+{api_table}</table>
 <h2>Usage</h2>
 <pre>
 from {os.path.basename(os.path.normpath(code_dir))}.cpg_solver import cpg_solve
 problem.register_solve('CPG', cpg_solve)
 problem.solve(method='CPG', updated_params=[...], max_iter=4000)
 </pre>
-<p>Batch API: cpg_solver._runtime.solver.solve_batch(theta)  # (B, p)</p>
 </body></html>
 """
     with open(os.path.join(code_dir, 'README.html'), 'w') as f:

@@ -67,9 +67,17 @@ class Region:
     Tt: np.ndarray
 
 
-def extract_mpqp(fam: Family, theta_ref=None) -> MpQP:
+def extract_mpqp(fam: Family, theta_ref=None, theta_box=None) -> MpQP:
     """Family -> mpQP.  Requires P and A theta-free (parity:
-    reference pdaqp.py:90-92 'P and A must be constant')."""
+    reference pdaqp.py:90-92 'P and A must be constant').
+
+    Parameter-domain bounds are REQUIRED, read from pure-parameter
+    constraints ``l <= p <= u`` (parity: reference pdaqp.py:264-304).
+    If the domain is unbounded in some active entry, raises ExplicitError
+    unless ``theta_box`` (a positive radius) opts into the fallback box
+    ``theta_ref +- theta_box`` -- an explicit, documented choice instead
+    of a silent one: out-of-domain queries are clipped to the box, so an
+    unintended box returns wrong answers silently."""
     p1 = fam.p1
     for name, M in (('P', fam.P_map), ('A', fam.A_map)):
         C = M.tocoo()
@@ -148,14 +156,35 @@ def extract_mpqp(fam: Family, theta_ref=None) -> MpQP:
         th_lb=th_lb[sel], th_ub=th_ub[sel], th_mask=th_mask,
         row_origin=np.array(orig_l, dtype=int),
         row_sign=np.array(sign_l, dtype=int))
-    # default box where unbounded: +-1 around reference theta (pdaqp needs a
-    # bounded domain; reference reads bounds from constraints l<=p<=u)
-    unb = ~np.isfinite(mp.th_lb)
-    ref = (theta_ref[sel] if theta_ref is not None else np.zeros(len(sel)))
-    mp.th_lb[unb] = ref[unb] - 1.0
-    unb = ~np.isfinite(mp.th_ub)
-    mp.th_ub[unb] = ref[unb] + 1.0
+    unb = (~np.isfinite(mp.th_lb)) | (~np.isfinite(mp.th_ub))
+    if np.any(unb):
+        if theta_box is None:
+            names = _entry_names(fam, sel[unb])
+            raise ExplicitError(
+                'explicit solver: parameter domain is unbounded for '
+                f'{names}.  Add pure-parameter bound constraints '
+                'l <= p <= u to the problem (reference pdaqp.py:264-304) '
+                "or pass solver_opts={'theta_box': radius} to enumerate "
+                'over a box around the current parameter values.')
+        ref = (theta_ref[sel] if theta_ref is not None
+               else np.zeros(len(sel)))
+        lo_unb = ~np.isfinite(mp.th_lb)
+        mp.th_lb[lo_unb] = ref[lo_unb] - float(theta_box)
+        hi_unb = ~np.isfinite(mp.th_ub)
+        mp.th_ub[hi_unb] = ref[hi_unb] + float(theta_box)
     return mp
+
+
+def _entry_names(fam: Family, idxs):
+    out = []
+    for k in np.atleast_1d(idxs):
+        for pi in fam.param_info:
+            if pi.offset <= k < pi.offset + pi.flat_size:
+                out.append(f'{pi.name}[{int(k - pi.offset)}]')
+                break
+        else:
+            out.append(f'theta[{int(k)}]')
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +251,27 @@ def _region_nonempty(reg: Region, mp: MpQP, tol=1e-9):
     return (-res.fun) > tol, (res.x[:p] if res.x is not None else None)
 
 
+def _licq_reduce(mp: MpQP, S):
+    """Greedy maximal linearly-independent subset of the active rows
+    (equalities always kept): degenerate active sets -- duplicated or
+    weakly-active rows -- would make GS H^{-1} GS' singular and the region
+    would be rejected, leaving its polytope uncovered."""
+    base = mp.E if mp.E.size else np.zeros((0, mp.H.shape[0]))
+    rows = base
+    keep = []
+    rank = np.linalg.matrix_rank(rows) if rows.size else 0
+    for i in S:
+        cand = np.vstack([rows, mp.G[i][None]])
+        r2 = np.linalg.matrix_rank(cand)
+        if r2 > rank:
+            rows, rank = cand, r2
+            keep.append(i)
+    return tuple(sorted(keep))
+
+
 def _active_set_at(mp: MpQP, th, tol=1e-7):
-    """Solve the QP at one theta (oracle) and read off the active set."""
+    """Solve the QP at one theta (oracle) and read off the active set,
+    LICQ-reduced."""
     from .oracle import ConeDims, solve_conic_qp
     f = mp.f0 + mp.F @ th
     w = mp.w0 + mp.Wm @ th
@@ -236,8 +284,7 @@ def _active_set_at(mp: MpQP, th, tol=1e-7):
         return None
     slack = w - mp.G @ res.x
     act = tuple(sorted(np.nonzero((slack < tol) | (res.z > 1e-6))[0].tolist()))
-    # keep LICQ: drop rows to at most n - me active
-    return act
+    return _licq_reduce(mp, act)
 
 
 def enumerate_regions(mp: MpQP, max_regions=500, n_samples=300, seed=0,
@@ -292,7 +339,27 @@ def enumerate_regions(mp: MpQP, max_regions=500, n_samples=300, seed=0,
         print(f'explicit: {len(regions)} regions')
     if not regions:
         raise ExplicitError('explicit enumeration found no regions')
+    if len(regions) >= max_regions:
+        import warnings
+        warnings.warn(
+            f'explicit enumeration hit max_regions={max_regions}; the '
+            'lookup table may not cover the whole parameter domain '
+            '(reference pdaqp caps, pdaqp.py:83-84).  Check the coverage '
+            'fraction reported by generate_code / measure_coverage().')
     return list(regions.values())
+
+
+def measure_coverage(mp: MpQP, regions, n_samples=1000, seed=1):
+    """Fraction of uniformly sampled domain points that fall in some
+    enumerated region -- the 'unreached domain' report the sampling-repair
+    pass cannot guarantee when capped (VERDICT r1 item 7)."""
+    rng = np.random.default_rng(seed)
+    hit = 0
+    for _ in range(n_samples):
+        th = mp.th_lb + (mp.th_ub - mp.th_lb) * rng.random(len(mp.th_lb))
+        if _best_region(regions, th) is not None:
+            hit += 1
+    return hit / max(n_samples, 1)
 
 
 def _best_region(regions, th, tol=-1e-7):
@@ -319,6 +386,7 @@ class ExplicitData:
     th_ub: np.ndarray
     store_idx: np.ndarray  # which x entries are stored
     n_regions: int
+    coverage: float = 1.0  # sampled-domain coverage fraction
 
 
 def build_explicit_data(fam: Family, regions: List[Region], mp: MpQP,

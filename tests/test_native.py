@@ -55,3 +55,39 @@ def test_native_warm_start_and_update():
     theta2[xi.offset] += 0.5
     out3 = ns.solve(theta2)
     assert not np.allclose(out3['x'], out2['x'])
+
+
+def test_standalone_c_artifact(tmp_path):
+    """generate_code emits a self-contained C project (reference
+    cpg_example.c role): `make` + run without Python, objective matches
+    the oracle."""
+    import re
+    import subprocess
+    import cvxpygen_tpu as ct
+    from cvxpygen_tpu import cpg
+
+    make_p, assign = ALL['nonneg_LS']
+    prob = assign(make_p(), seed=0)
+    code_dir = str(tmp_path / 'pkg')
+    cpg.generate_code(prob, code_dir=code_dir, solver='OSQP', wrapper=False)
+    cdir = tmp_path / 'pkg' / 'c'
+    assert (cdir / 'cpg_example.c').exists()
+    assert (tmp_path / 'pkg' / 'LICENSE').exists()
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True).stdout
+    m = re.search(r'obj = ([-\d.e+]+)', out)
+    assert m, out
+    obj_c = float(m.group(1))
+    assert 'status = 1' in out
+
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+    res, _ = solve_family_numpy(fam, theta)
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    if fam.d_quad is not None:
+        d += float(tt @ (fam.d_quad @ tt))
+    obj_ref = res.obj + d
+    assert abs(obj_c - obj_ref) < 1e-2 * max(1.0, abs(obj_ref)), \
+        (obj_c, obj_ref)
