@@ -52,12 +52,22 @@ def _pack_theta_cached(fam, prob, updated_params, cached):
 
 class CpgRuntime:
     def __init__(self, family: Family, solver_name='ADMM', prefix='',
-                 gradient=False, enable_settings=None, dtype=None):
+                 gradient=False, enable_settings=None, dtype=None,
+                 solver_opts=None):
         self.family = family
         self.prefix = prefix
         self.gradient_enabled = gradient
         self.enable_settings = enable_settings or []
         self.solver = make_compiled_solver(family, solver_name, dtype=dtype)
+        if solver_opts:
+            # generate-time solver_opts become the runtime setting defaults
+            # (parity: reference solver_opts flow through codegen into the
+            # embedded solver's baked-in settings, generator.py:65-88)
+            base = self.solver.settings
+            upd = {k: v for k, v in solver_opts.items()
+                   if k in {f.name for f in dataclasses.fields(base)}}
+            if upd:
+                self.solver.settings = dataclasses.replace(base, **upd)
         self.requested_solver = solver_name
         self._theta = None
         self._ctx = None  # last-solve context for gradients

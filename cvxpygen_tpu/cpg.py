@@ -162,7 +162,8 @@ if _CFG.get('explicit'):
 else:
     _runtime = CpgRuntime(family, solver_name=_CFG['solver'],
                           prefix=_CFG['prefix'], gradient=_CFG['gradient'],
-                          enable_settings=_CFG['enable_settings'])
+                          enable_settings=_CFG['enable_settings'],
+                          solver_opts=_CFG.get('solver_opts'))
 
 
 def cpg_solve(prob, updated_params=None, **kwargs):

@@ -51,9 +51,13 @@ if __name__ == '__main__':
         assign_MPC(prob, seed=seed)
         thetas.append(fam.pack_theta(params=prob.parameters()))
     T = np.stack(thetas)
+    # the seeds vary only x_init, so canonical P/A are batch-shared and
+    # solve_batch auto-routes to the shared-KKT fast path (one
+    # factorization, full-batch MXU GEMM iterations)
+    path = 'shared-KKT' if solver._use_shared(T, 'auto') else 'per-instance'
     t0 = time.time()
     out = solver.solve_batch(T)
     objs = np.asarray(out['obj'] + out['d'])
     dt = time.time() - t0
-    print(f'\nbatch of {len(T)}: {dt*1000:.1f} ms '
+    print(f'\nbatch of {len(T)} [{path} path]: {dt*1000:.1f} ms '
           f'({len(T)/dt:.0f} solves/s), objs[:4] = {objs[:4].round(3)}')

@@ -165,3 +165,35 @@ def test_solver_auto_detects_shared_batch():
     pa_cols = np.where(solver._pa_mask)[0]
     theta2[0, pa_cols[0]] += 0.1
     assert not solver._use_shared(theta2, 'auto')
+
+
+def test_canon_batch_shared_scatter_mode():
+    """canon_batch_shared must agree with canon_batch in BOTH map layouts
+    (dense GEMM and scatter for large families)."""
+    import jax.numpy as jnp
+    from problems import MPC_problem, assign_MPC
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.runtime.jax_family import (JaxFamily, canon_batch,
+                                                 canon_batch_shared)
+    prob = assign_MPC(MPC_problem(H=3), seed=0)
+    fam = canonicalize(prob)
+    rng = np.random.default_rng(3)
+    base = fam.pack_theta(params=prob.parameters())
+    xi = [pi for pi in fam.param_info if pi.name == 'x_init'][0]
+    theta = np.tile(base, (4, 1))
+    theta[:, xi.offset:xi.offset + xi.flat_size] = rng.uniform(-1, 1, (4, 6))
+    theta = jnp.asarray(theta)
+    for force_scatter in (False, True):
+        jf = JaxFamily.from_family(fam, force_scatter=force_scatter)
+        full = canon_batch(jf, theta)
+        shared = canon_batch_shared(jf, theta)
+        np.testing.assert_allclose(np.asarray(shared['P']),
+                                   np.asarray(full['P'][0]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(shared['A']),
+                                   np.asarray(full['A'][0]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(shared['q']),
+                                   np.asarray(full['q']), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(shared['b']),
+                                   np.asarray(full['b']), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(shared['d']),
+                                   np.asarray(full['d']), atol=1e-12)

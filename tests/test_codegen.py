@@ -155,3 +155,17 @@ def test_gradient_package(tmp_code_dir):
         rm, _ = solve_family_numpy(fam, tm)
         fd = (w @ rp.x - w @ rm.x) / (2 * eps)
         assert abs(b.gradient[k] - fd) < 1e-4, (k, b.gradient[k], fd)
+
+
+def test_solver_opts_become_runtime_defaults(tmp_code_dir):
+    """generate_code(solver_opts={...}) bakes matching engine settings in
+    as the runtime defaults (parity: reference solver_opts flow into the
+    embedded solver's settings, generator.py:65-88)."""
+    make, assign = ALL['nonneg_LS']
+    prob = assign(make(), seed=1)
+    mod = cpg.generate_code(prob, code_dir=tmp_code_dir, solver='OSQP',
+                            solver_opts={'max_iter': 123, 'eps_abs': 1e-5,
+                                         'not_a_setting': 7})
+    st = mod._runtime.solver.settings
+    assert st.max_iter == 123 and st.eps_abs == 1e-5
+    prob.solve(method='CPG')  # still solves with the baked-in settings
