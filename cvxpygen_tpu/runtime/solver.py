@@ -83,21 +83,7 @@ class CompiledQPSolver:
         return self._solve_jit(self.jf, theta, x0, y0, settings=st)
 
     def _use_shared(self, theta, shared_PA):
-        if shared_PA is True:
-            return True
-        if shared_PA != 'auto':
-            return False
-        if not self._pa_mask.any():
-            return True
-        theta = np.asarray(theta) if isinstance(theta, (np.ndarray, list)) \
-            else None
-        if theta is None:
-            return False
-        theta = np.atleast_2d(theta)
-        if theta.shape[0] <= 1:
-            return True
-        cols = theta[:, self._pa_mask]
-        return bool(np.all(cols == cols[:1]))
+        return use_shared_path(self._pa_mask, theta, shared_PA)
 
     # -- single-instance convenience (cpg_solve parity) -----------------
     def solve_into_problem(self, problem, **setting_overrides):
@@ -121,6 +107,26 @@ class CompiledQPSolver:
                             solve_time=solve_time,
                             num_iters=int(out['iters'][0]))
         return problem.unpack_results(status, obj, primal, duals, stats)
+
+
+def use_shared_path(pa_mask, theta, shared_PA):
+    """Shared-KKT eligibility: True / False / 'auto' (concrete host
+    batches are checked column-wise on the P/A-relevant theta entries)."""
+    if shared_PA is True:
+        return True
+    if shared_PA != 'auto':
+        return False
+    if not pa_mask.any():
+        return True
+    theta = np.asarray(theta) if isinstance(theta, (np.ndarray, list)) \
+        else None
+    if theta is None:
+        return False
+    theta = np.atleast_2d(theta)
+    if theta.shape[0] <= 1:
+        return True
+    cols = theta[:, pa_mask]
+    return bool(np.all(cols == cols[:1]))
 
 
 def _status_str(out):
@@ -307,12 +313,32 @@ class CompiledConicADMMSolver:
             res['y_canon'] = -res['y']
             return res
 
-        self._solve_jit = jax.jit(raw, static_argnames=('settings',))
+        def raw_shared(jf, theta, x0, y0, settings):
+            from ..solvers.conic_admm_shared import conic_admm_solve_shared
+            data = canon_batch_shared(jf, theta)
+            res = conic_admm_solve_shared(
+                data['P'], data['q'], data['A'], data['b'], jf.n_zero,
+                layout, settings, x0=x0, y0=y0)
+            res['d'] = data['d']
+            res['y_canon'] = -res['y']
+            return res
 
-    def solve_batch(self, theta, settings=None, x0=None, y0=None):
+        self._solve_jit = jax.jit(raw, static_argnames=('settings',))
+        self._solve_shared_jit = jax.jit(raw_shared,
+                                         static_argnames=('settings',))
+        self._pa_mask = pa_theta_mask(family)
+
+    def solve_batch(self, theta, settings=None, x0=None, y0=None,
+                    shared_PA='auto'):
+        """Batched conic solve; ``shared_PA`` as in CompiledQPSolver: the
+        shared-KKT fast path (solvers/conic_admm_shared.py) engages when
+        the batch shares canonical P/A."""
+        theta_in = theta
         theta = jnp.atleast_2d(jnp.asarray(theta))
-        return self._solve_jit(self.jf, theta, x0, y0,
-                               settings or self.settings)
+        st = settings or self.settings
+        if use_shared_path(self._pa_mask, theta_in, shared_PA):
+            return self._solve_shared_jit(self.jf, theta, x0, y0, st)
+        return self._solve_jit(self.jf, theta, x0, y0, st)
 
     solve_into_problem = CompiledQPSolver.solve_into_problem
 
