@@ -40,9 +40,11 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
     if solver is None:
         # default-solver resolution from the CANONICALIZED family's cone
         # content (not a syntactic expression walk): QP-form -> ADMM;
-        # SOC-only -> IPM; exp/PSD/pow -> conic ADMM (the engine with those
-        # cones -- mirrors how the reference routes cone families to solvers
-        # that accept them, reference scs.py:130-135 / clarabel.py:133-155)
+        # SOC-only -> IPM; exp/PSD/pow -> conic ADMM.  Both conic engines
+        # now cover the full cone list (the IPM via solvers/ipm_cones.py);
+        # the first-order engine stays the default for exotic families
+        # because it warm-starts and has the shared-KKT batch fast path --
+        # pass solver='CLARABEL' for tight-tolerance IPM solves.
         if getattr(fam, 'n_exp', 0) or getattr(fam, 'psd_dims', ()) \
                 or getattr(fam, 'pow_alphas', ()):
             solver = 'SCS'

@@ -250,7 +250,9 @@ class CompiledConicSolver:
             E, f = A[:, :mz], b[:, :mz]
             G, h = A[:, mz:], b[:, mz:]
             res = ipm_solve(data['P'], data['q'], E, f, G, h,
-                            jf.n_nonneg, jf.soc_dims, settings)
+                            jf.n_nonneg, jf.soc_dims, settings,
+                            n_exp=jf.n_exp, psd_dims=jf.psd_dims,
+                            pow_alphas=jf.pow_alphas)
             res['d'] = data['d']
             res['y_canon'] = jnp.concatenate([res['nu'], res['z']], axis=1)
             return res
@@ -347,9 +349,11 @@ def make_compiled_solver(family: Family, solver='ADMM', settings=None,
                          dtype=None):
     """Resolve a solver name to a compiled solver.  Accepts the reference's
     solver names as aliases (reference generator.py:161-173):
-    OSQP -> ADMM; SCS -> conic ADMM; ECOS/CLARABEL/QOCO -> IPM (conic);
-    exp/PSD-cone families route to conic ADMM regardless (the only engine
-    with those cones, as in the reference only some solvers accept them)."""
+    OSQP -> ADMM; SCS -> conic ADMM; ECOS/CLARABEL/QOCO -> IPM (conic).
+    The IPM covers the full Clarabel cone list (zero/nonneg/SOC/exp/PSD/
+    pow, reference clarabel.py:133-155), so exotic-cone families solve
+    with either conic engine; reference ECOS rejects exp cones
+    (ecos.py:121-125) but our IPM alias accepts them (superset)."""
     name = (solver or 'ADMM').upper()
     has_exotic = bool(getattr(family, 'n_exp', 0)
                       or getattr(family, 'psd_dims', ())
@@ -371,10 +375,7 @@ def make_compiled_solver(family: Family, solver='ADMM', settings=None,
     if name in ('ADMM', 'OSQP'):
         raise ValueError(f'{solver}: QP-form solver but family has cones '
                          '(SOC/exp/PSD)')
-    if name in ('SCS', 'CONIC_ADMM') or has_exotic:
-        if name not in ('SCS', 'CONIC_ADMM', 'IPM', 'ECOS', 'CLARABEL',
-                        'QOCO', 'QOCOGEN'):
-            raise ValueError(f'unknown solver {solver!r}')
+    if name in ('SCS', 'CONIC_ADMM'):
         return CompiledConicADMMSolver(family, settings=settings, dtype=dtype)
     if name in ('IPM', 'ECOS', 'CLARABEL', 'QOCO', 'QOCOGEN'):
         return CompiledConicSolver(family, settings=settings, dtype=dtype)

@@ -29,11 +29,20 @@ KKT solve modes (``kkt_solver``):
 
 Form (canon/canonicalizer.py convention):
     min 0.5 x'Px + q'x   s.t.  E x + f = 0,   G x + h = s,  s in K
-    K = R+^l x SOC(d_1) x ... x SOC(d_k)
-Duals: P x + q - E'nu - G'z = 0, z in K.
+    K = R+^l x SOC(d_1..d_k) x EXP^ne x PSD(s_1..) x POW(a_1..)
+Duals: P x + q - E'nu - G'z = 0, z in K*.
 
-The cone layout (l, (d_1..d_k)) is static; all cone operations unroll at
-trace time and vectorize over the batch.
+Symmetric blocks (nonneg/SOC) use Nesterov-Todd scalings with the full
+Mehrotra corrector; exponential / power / PSD blocks use the
+dual-barrier-Hessian scaling H = mu grad^2 F*(z) (PSD: NT geometric-mean
+scaling) with a sigma-weighted centering RHS -- the ECOS-exp-style
+nonsymmetric extension (see solvers/ipm_cones.py).  This covers the
+reference Clarabel interface's full cone list
+(cvxpygen/solvers/clarabel.py:133-155); reference ECOS rejects exp cones
+(ecos.py:121-125) but this engine accepts them for every IPM alias.
+
+The cone layout is static; all cone operations unroll at trace time and
+vectorize over the batch.
 """
 from __future__ import annotations
 
@@ -239,10 +248,11 @@ def max_step_cone(v, dv, l, socs):
 # Ruiz equilibration (block-uniform on SOC rows)
 # ---------------------------------------------------------------------------
 
-def ruiz_equilibrate_ipm(P, q, E, f, G, h, l_nonneg, socs, iters):
+def ruiz_equilibrate_ipm(P, q, E, f, G, h, blocks, iters):
     """Modified Ruiz on the stacked [E; G] rows + P columns + cost scaling,
-    with one shared scale per SOC block (cone invariance).  Returns scaled
-    data + (c, D, Ef, Eg) unscaling factors.  Mirrors
+    with one shared scale per cone block (SOC/exp/PSD/pow -- cone
+    invariance requires a uniform positive scale within each block).
+    Returns scaled data + (c, D, Ef, Eg) unscaling factors.  Mirrors
     solvers/conic_admm.py ruiz_equilibrate_conic."""
     B, n = q.shape
     mz = E.shape[1]
@@ -252,7 +262,6 @@ def ruiz_equilibrate_ipm(P, q, E, f, G, h, l_nonneg, socs, iters):
     D = jnp.ones((B, n), dtype)
     Ef = jnp.ones((B, mz), dtype)
     Eg = jnp.ones((B, mc), dtype)
-    blocks = _soc_slices(l_nonneg, socs)
     for _ in range(iters):
         nx_P = jnp.max(jnp.abs(P), axis=1)
         nx_E = jnp.max(jnp.abs(E), axis=1) if mz else jnp.zeros_like(nx_P)
@@ -301,24 +310,34 @@ def ruiz_equilibrate_ipm(P, q, E, f, G, h, l_nonneg, socs, iters):
 # ---------------------------------------------------------------------------
 
 def ipm_solve(P, q, E, f, G, h, l_nonneg: int, socs: Tuple[int, ...],
-              settings: IPMSettings = IPMSettings()):
+              settings: IPMSettings = IPMSettings(),
+              n_exp: int = 0, psd_dims: Tuple[int, ...] = (),
+              pow_alphas: Tuple[float, ...] = ()):
     """Solve a batch of conic QPs.  Returns dict(x, nu, z, s, obj, iters,
     gap, res_primal, res_dual, solved, status).  Status codes match the
     ADMM engine (reference CPG_Info statuses, utils.py:977-985):
     1 solved, 0 max_iter, -3 primal infeasible, -4 dual infeasible.
     Full-f32 matmul precision on TPU (see admm_solve note)."""
     with jax.default_matmul_precision('highest'):
-        return _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs, settings)
+        return _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs, settings,
+                               n_exp, psd_dims, pow_alphas)
 
 
 def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
-                    settings: IPMSettings = IPMSettings()):
+                    settings: IPMSettings = IPMSettings(),
+                    n_exp=0, psd_dims=(), pow_alphas=()):
+    from .ipm_cones import (ExoticCones, ExoticScaling,
+                            exotic_centrality_alpha, exotic_init,
+                            exotic_max_step, exotic_primal_dist)
     st = settings
     B, n = q.shape
     mz = E.shape[1] if E.ndim == 3 else 0
     mc = G.shape[1]
     dtype = P.dtype
     N = n + mz + mc
+    exo = ExoticCones(int(n_exp), tuple(psd_dims), tuple(pow_alphas))
+    ms = l_nonneg + int(sum(socs))          # symmetric rows come first
+    assert ms + exo.dim == mc, (ms, exo.dim, mc)
 
     # precision floor: f32 KKT solves + refinement bottom out ~1e-5
     eps_mach = float(jnp.finfo(dtype).eps)
@@ -333,8 +352,10 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
     # keep unscaled data for honest termination / certificates
     P0, q0, E0, f0, G0, h0 = P, q, E, f, G, h
     if st.scaling > 0:
+        eq_blocks = (_soc_slices(l_nonneg, socs)
+                     + [(ms + o, L) for (o, L) in exo.blocks()])
         P, q, E, f, G, h, c_s, D_s, Ef_s, Eg_s = ruiz_equilibrate_ipm(
-            P, q, E, f, G, h, l_nonneg, socs, st.scaling)
+            P, q, E, f, G, h, eq_blocks, st.scaling)
     else:
         c_s = jnp.ones((B,), dtype)
         D_s = jnp.ones((B, n), dtype)
@@ -342,13 +363,13 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         Eg_s = jnp.ones((B, mc), dtype)
     c_inv = 1.0 / c_s
 
-    e = cone_e(B, l_nonneg, socs, dtype)
-    kdeg = l_nonneg + len(socs)
+    e = cone_e(B, l_nonneg, socs, dtype)   # symmetric central ray (B, ms)
+    kdeg = l_nonneg + len(socs) + exo.degree
 
     x0 = jnp.zeros((B, n), dtype)
     nu0 = jnp.zeros((B, mz), dtype)
-    s0 = e
-    z0 = e
+    s0 = jnp.concatenate([e, exotic_init(B, exo, dtype)], axis=1)
+    z0 = s0
 
     I_n = jnp.eye(n, dtype=dtype)
 
@@ -435,13 +456,25 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         if mz:
             d_ok = d_ok & (jnp.max(jnp.abs(
                 jnp.einsum('bij,bj->bi', E0, xu)), axis=1) <= tol_inf * x_n)
-        d_ok = d_ok & (cone_dist(Gx, l_nonneg, socs) <= tol_inf * x_n)
+        gx_dist = cone_dist(Gx[:, :ms], l_nonneg, socs)
+        if exo:
+            gx_dist = jnp.maximum(gx_dist,
+                                  exotic_primal_dist(exo, Gx[:, ms:]))
+        d_ok = d_ok & (gx_dist <= tol_inf * x_n)
         d_inf = ((x_n > 1e-8) & d_ok
                  & (jnp.sum(q0 * xu, axis=1) <= -tol_inf * x_n))
         return p_inf, d_inf
 
     # ---- KKT machinery (scaled space) ---------------------------------
-    def apply_K(W, dx, dnu, dz):
+    def applyH(W, ES, dz):
+        """H dz over all cone rows: W(W .) on the symmetric part (W
+        symmetric), dense block action on the exotic part."""
+        Hdz = W.mul(W.mul(dz[:, :ms]))
+        if exo:
+            Hdz = jnp.concatenate([Hdz, ES.apply(dz[:, ms:])], axis=1)
+        return Hdz
+
+    def apply_K(W, ES, dx, dnu, dz):
         """Unregularized KKT application for iterative refinement."""
         r1 = jnp.einsum('bij,bj->bi', P, dx) \
             - jnp.einsum('bij,bi->bj', G, dz)
@@ -450,15 +483,16 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             r2 = jnp.einsum('bij,bj->bi', E, dx)
         else:
             r2 = jnp.zeros((B, 0), dtype)
-        Hdz = W.mul(W.mul(dz))  # H dz = W(W dz) (W symmetric)
-        r3 = jnp.einsum('bij,bj->bi', G, dx) + Hdz
+        r3 = jnp.einsum('bij,bj->bi', G, dx) + applyH(W, ES, dz)
         return r1, r2, r3
 
-    def make_solver(W):
-        """Returns solve(r1, r2, r3) -> (dx, dnu, dz) for the current NT
-        scaling, with st.refine_steps refinement sweeps."""
+    def make_solver(W, ES):
+        """Returns solve(r1, r2, r3) -> (dx, dnu, dz) for the current
+        scalings, with st.refine_steps refinement sweeps."""
         if kkt_mode == 'lu':
             H = W.wtw_dense(B, mc, dtype)
+            if exo:
+                H = ES.set_H(H, ms)
             K = jnp.zeros((B, N, N), dtype)
             K = K.at[:, :n, :n].set(P + st.static_reg * I_n)
             if mz:
@@ -479,6 +513,8 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             # Newton-Schulz (MXU path, no factorization)
             from .admm import newton_schulz_inverse
             Hinv = W.wtw_dense(B, mc, dtype, inv=True)
+            if exo:
+                Hinv = ES.set_H(Hinv, ms, inv=True)
             HiG = jnp.einsum('bij,bjk->bik', Hinv, G)       # (B, mc, n)
             S = (P + st.static_reg * I_n
                  + jnp.einsum('bji,bjk->bik', G, HiG))      # SPD (B, n, n)
@@ -505,7 +541,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         def solve(r1, r2, r3):
             dx, dnu, dz = base_solve(r1, r2, r3)
             for _ in range(st.refine_steps):
-                a1, a2, a3 = apply_K(W, dx, dnu, dz)
+                a1, a2, a3 = apply_K(W, ES, dx, dnu, dz)
                 cx, cnu, cz = base_solve(r1 - a1, r2 - a2, r3 - a3)
                 dx, dnu, dz = dx + cx, dnu + cnu, dz + cz
             return dx, dnu, dz
@@ -529,35 +565,72 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         rx, ry, rz = residuals_scaled(x, nu, z, s)
         mu = jnp.sum(s * z, axis=1) / kdeg
 
-        W = BatchNT(s, z, l_nonneg, socs)
-        lam = W.mul(z)
-        solve = make_solver(W)
-
-        def solve_dir(dtv):
-            return solve(-rx, -ry,
-                         -rz + W.mul(jdiv(lam, dtv, l_nonneg, socs)))
+        ssym, sexo = s[:, :ms], s[:, ms:]
+        zsym, zexo = z[:, :ms], z[:, ms:]
+        W = BatchNT(ssym, zsym, l_nonneg, socs)
+        lam = W.mul(zsym)
+        ES = ExoticScaling(exo, sexo, zexo, mu) if exo else None
+        solve = make_solver(W, ES)
 
         def with_ds(dx, dz):
             return jnp.einsum('bij,bj->bi', G, dx) + rz
 
-        lam2 = jprod(lam, lam, l_nonneg, socs)
-        dx_a, dnu_a, dz_a = solve_dir(-lam2)
+        def max_step(v, dv):
+            return jnp.minimum(
+                max_step_cone(v[:, :ms], dv[:, :ms], l_nonneg, socs),
+                jnp.full((B,), 1e20, dtype))
+
+        # affine direction: the scaled complementarity linearization gives
+        # ds = -s - H dz for EVERY cone type, so the third-row RHS is
+        # -rz - s (symmetric blocks: -rz + W(lam \ -lam o lam) = -rz - s)
+        dx_a, dnu_a, dz_a = solve(-rx, -ry, -rz - s)
         ds_a = with_ds(dx_a, dz_a)
-        a_s = max_step_cone(s, ds_a, l_nonneg, socs)
-        a_z = max_step_cone(z, dz_a, l_nonneg, socs)
-        alpha_aff = jnp.minimum(1.0, jnp.minimum(a_s, a_z))
+        a_sym = jnp.minimum(max_step(s, ds_a), max_step(z, dz_a))
+        if exo:
+            a_exo = exotic_max_step(exo, sexo, ds_a[:, ms:],
+                                    zexo, dz_a[:, ms:])
+            a_sym = jnp.minimum(a_sym, a_exo)
+        alpha_aff = jnp.minimum(1.0, a_sym)
         mu_aff = jnp.sum((s + alpha_aff[:, None] * ds_a)
                          * (z + alpha_aff[:, None] * dz_a), axis=1) / kdeg
         sigma = jnp.clip((mu_aff / mu) ** 3, 1e-8, 1.0 - 1e-8)
+        if exo:
+            # residual-balance floor: with nonsymmetric scalings the
+            # proximity line search caps alpha below 1, so feasibility
+            # residuals contract slower than Mehrotra drives mu down.
+            # Once mu << residual norm the KKT system is dominated by the
+            # degenerate barrier Hessians and feasibility stalls for good.
+            # Keep mu >= 0.1 * res_k * (mu_0/res_0) by flooring sigma
+            # (pure centering while feasibility catches up) -- the
+            # infeasible-IPM neighborhood, enforced through sigma.
+            res_k = jnp.sqrt(jnp.sum(rx * rx, axis=1)
+                             + (jnp.sum(ry * ry, axis=1) if mz else 0.0)
+                             + jnp.sum(rz * rz, axis=1))
+            floor = 0.1 * res_k * inv_ratio0 / jnp.maximum(mu, 1e-300)
+            sigma = jnp.maximum(sigma, jnp.minimum(1.0 - 1e-8, floor))
 
-        corr = jprod(W.mul(ds_a, inv=True), W.mul(dz_a), l_nonneg, socs)
+        # combined direction: symmetric blocks get the full Mehrotra
+        # corrector in lambda coordinates; exotic blocks the sigma-weighted
+        # dual-barrier centering RHS (ipm_cones docstring)
+        lam2 = jprod(lam, lam, l_nonneg, socs)
+        corr = jprod(W.mul(ds_a[:, :ms], inv=True), W.mul(dz_a[:, :ms]),
+                     l_nonneg, socs)
         dtv = sigma[:, None] * mu[:, None] * e - lam2 - corr
-        dx, dnu, dz = solve_dir(dtv)
+        rhs3 = -rz[:, :ms] + W.mul(jdiv(lam, dtv, l_nonneg, socs))
+        if exo:
+            rhs3_exo = (-rz[:, ms:] - sexo
+                        + (sigma * mu)[:, None] * ES.centering_rhs(zexo))
+            rhs3 = jnp.concatenate([rhs3, rhs3_exo], axis=1)
+        dx, dnu, dz = solve(-rx, -ry, rhs3)
         ds = with_ds(dx, dz)
 
-        a_s = max_step_cone(s, ds, l_nonneg, socs)
-        a_z = max_step_cone(z, dz, l_nonneg, socs)
-        alpha = jnp.minimum(1.0, st.frac_to_boundary * jnp.minimum(a_s, a_z))
+        a_step = jnp.minimum(max_step(s, ds), max_step(z, dz))
+        if exo:
+            a_step = jnp.minimum(a_step, exotic_max_step(
+                exo, sexo, ds[:, ms:], zexo, dz[:, ms:]))
+        alpha = jnp.minimum(1.0, st.frac_to_boundary * a_step)
+        if exo:
+            alpha = exotic_centrality_alpha(exo, s, ds, z, dz, kdeg, alpha)
 
         # freeze finished instances with where, NOT alpha=0: a converged
         # instance's NT scaling degenerates (s, z on the boundary) and its
@@ -579,6 +652,14 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         status = jnp.where(d_inf & (status == 0), -4, status)
         it_vec = jnp.where((status != 0) & ~done, it, it_vec)
         return x, nu, z, s, it, status, it_vec
+
+    if exo:
+        rx0, ry0, rz0 = residuals_scaled(x0, nu0, z0, s0)
+        res00 = jnp.sqrt(jnp.sum(rx0 * rx0, axis=1)
+                         + (jnp.sum(ry0 * ry0, axis=1) if mz else 0.0)
+                         + jnp.sum(rz0 * rz0, axis=1))
+        mu00 = jnp.sum(s0 * z0, axis=1) / kdeg
+        inv_ratio0 = mu00 / jnp.maximum(res00, 1e-10)
 
     def cond(state):
         it, status = state[4], state[5]

@@ -1,0 +1,547 @@
+"""Exotic-cone (exponential / 3D power / PSD) calculus for the conic IPM.
+
+Extends solvers/ipm.py beyond the symmetric (nonneg/SOC) cones so the IPM
+engine covers the reference Clarabel interface's full cone list (reference
+cvxpygen/solvers/clarabel.py:133-155: zero/nonneg/SOC/exp/PSD/pow).
+
+Method (the TPU-friendly shape of the ECOS-exp / MOSEK nonsymmetric IPM,
+Serrano 2015; Dahl & Andersen 2021):
+
+- For each nonsymmetric cone block the KKT scaling is the dual-barrier
+  Hessian  H = mu * grad^2 F*(z)  (3x3 dense for exp/pow).  F* is the
+  standard nu=3 logarithmically homogeneous barrier of the DUAL cone; its
+  gradient/Hessian come from jax autodiff (vmapped over blocks) rather
+  than hand-derived formulas.
+- PSD blocks use the Nesterov-Todd scaling point W (matrix geometric mean
+  of S and Z, computed by eigh): H svec(M) = svec(W M W), so H z = s holds
+  exactly (symmetric-cone theory, batched over instances).
+- Complementarity RHS for these blocks (H-form):
+      affine    ds = -s - H dz
+      combined  ds = -s - H dz - sigma*mu*grad F*(z)
+  which coincides with the NT/Jordan form the symmetric blocks use.
+- Step length to the boundary has no closed form for exp/pow: a batched
+  bisection on strict cone membership (primal cone for s, dual cone for
+  z); PSD uses the closed form 1/max(0, -lambda_min(S^-1/2 dS S^-1/2)).
+
+Conventions match ops/cones.py:
+    EXP      K = cl{(x,y,z): y>0, y e^{x/y} <= z}
+    EXP dual K* = cl{(u,v,w): u<0, -u e^{v/u} <= e w}
+             barrier F*(u,v,w) = -log(v - u + u log(-u/w)) - log(-u) - log(w)
+    POW(a)   K = {(x,y,z): x^a y^(1-a) >= |z|, x,y >= 0}
+    POW dual K* = {(u,v,w): (u/a)^a (v/(1-a))^(1-a) >= |w|}
+             barrier F*(u,v,w) = F_pow(u/a, v/(1-a), w) with
+             F_pow(x,y,z) = -log(x^{2a} y^{2(1-a)} - z^2)
+                            - (1-a) log x - a log y
+    PSD(s)   svec (upper triangle, column-major, sqrt(2) off-diag)
+
+Exotic rows sit after the symmetric rows:
+    [nonneg | SOC | EXP triples | PSD svec blocks | POW triples].
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cones import svec_indices
+
+_BIG = 1e20
+
+
+@dataclass(frozen=True)
+class ExoticCones:
+    """Static exotic-cone layout (hashable; trace-time constant)."""
+    n_exp: int = 0
+    psd_dims: Tuple[int, ...] = ()
+    pow_alphas: Tuple[float, ...] = ()
+
+    @property
+    def dim(self) -> int:
+        return (3 * self.n_exp
+                + int(sum(s * (s + 1) // 2 for s in self.psd_dims))
+                + 3 * len(self.pow_alphas))
+
+    @property
+    def degree(self) -> int:
+        """Barrier degree: 3 per exp/pow cone, s per PSD(s) block."""
+        return (3 * self.n_exp + int(sum(self.psd_dims))
+                + 3 * len(self.pow_alphas))
+
+    def __bool__(self):
+        return bool(self.n_exp or self.psd_dims or self.pow_alphas)
+
+    # offsets within the exotic subvector
+    @property
+    def psd_off(self) -> int:
+        return 3 * self.n_exp
+
+    @property
+    def pow_off(self) -> int:
+        return self.psd_off + int(sum(s * (s + 1) // 2
+                                      for s in self.psd_dims))
+
+    def blocks(self):
+        """(start, length) of every exotic block within the exotic rows."""
+        out = []
+        off = 0
+        for _ in range(self.n_exp):
+            out.append((off, 3))
+            off += 3
+        for s in self.psd_dims:
+            k = s * (s + 1) // 2
+            out.append((off, k))
+            off += k
+        for _ in self.pow_alphas:
+            out.append((off, 3))
+            off += 3
+        return out
+
+
+# ---------------------------------------------------------------------------
+# dual barriers (autodiff supplies gradients and Hessians)
+# ---------------------------------------------------------------------------
+
+def _exp_dual_barrier(z):
+    """nu=3 barrier of K*_exp = cl{(u,v,w): u<0, -u e^{v/u} <= e w}.
+    Interior condition: -u>0, w>0, v - u + u log(-u/w) > 0."""
+    u, v, w = z[0], z[1], z[2]
+    t = v - u + u * jnp.log(-u / w)
+    return -jnp.log(t) - jnp.log(-u) - jnp.log(w)
+
+
+def _pow_barrier(x, y, zz, a):
+    """Chares nu=3 barrier of K_pow(a) (used for the dual via coordinate
+    scaling)."""
+    phi = 2.0 * (a * jnp.log(x) + (1.0 - a) * jnp.log(y))
+    return (-jnp.log(jnp.exp(phi) - zz * zz)
+            - (1.0 - a) * jnp.log(x) - a * jnp.log(y))
+
+
+def _pow_dual_barrier(z, a):
+    return _pow_barrier(z[0] / a, z[1] / (1.0 - a), z[2], a)
+
+
+_exp_grad = jax.vmap(jax.grad(_exp_dual_barrier))
+_exp_hess = jax.vmap(jax.hessian(_exp_dual_barrier))
+
+
+def _pow_grad_hess(z3, a):
+    """z3 (B, 3) -> grad (B, 3), hess (B, 3, 3) of the dual pow barrier."""
+    g = jax.vmap(jax.grad(lambda z: _pow_dual_barrier(z, a)))(z3)
+    h = jax.vmap(jax.hessian(lambda z: _pow_dual_barrier(z, a)))(z3)
+    return g, h
+
+
+# ---------------------------------------------------------------------------
+# svec helpers (PSD blocks)
+# ---------------------------------------------------------------------------
+
+def _svec_to_mat(w, s):
+    """w (..., k) svec -> symmetric matrix (..., s, s)."""
+    r, c, sc = svec_indices(s)
+    sc = jnp.asarray(sc, w.dtype)
+    vals = w / sc
+    X = jnp.zeros(w.shape[:-1] + (s, s), w.dtype)
+    X = X.at[..., r, c].set(vals)
+    X = X.at[..., c, r].set(vals)
+    return X
+
+
+def _mat_to_svec(X, s):
+    r, c, sc = svec_indices(s)
+    sc = jnp.asarray(sc, X.dtype)
+    return X[..., r, c] * sc
+
+
+def _psd_basis(s, dtype):
+    """Constant (k, s, s) svec basis matrices: mat(e_j)."""
+    import numpy as np
+    r, c, sc = svec_indices(s)
+    k = len(r)
+    E = np.zeros((k, s, s))
+    for j in range(k):
+        E[j, r[j], c[j]] = 1.0 / sc[j]
+        E[j, c[j], r[j]] = 1.0 / sc[j]
+    return jnp.asarray(E, dtype)
+
+
+def _mat_sqrt(X, inv=False):
+    """Symmetric PSD matrix square root (or inverse square root) by eigh."""
+    lam, Q = jnp.linalg.eigh(X)
+    lam = jnp.maximum(lam, jnp.finfo(X.dtype).tiny)
+    p = -0.5 if inv else 0.5
+    return jnp.einsum('...ik,...k,...jk->...ij', Q, lam ** p, Q)
+
+
+def _psd_nt_scaling(S, Z):
+    """NT scaling point W with W Z W = S (matrix geometric mean)."""
+    A = _mat_sqrt(S)
+    M = jnp.einsum('...ij,...jk,...kl->...il', A, Z, A)
+    return jnp.einsum('...ij,...jk,...kl->...il', A, _mat_sqrt(M, inv=True),
+                      A)
+
+
+# ---------------------------------------------------------------------------
+# scaling state for the exotic blocks
+# ---------------------------------------------------------------------------
+
+class ExoticScaling:
+    """Per-iteration scaling data: H blocks (and their inverses on demand),
+    dual-barrier gradients for the centering RHS."""
+
+    def __init__(self, exo: ExoticCones, s_exo, z_exo, mu):
+        self.exo = exo
+        self.dtype = z_exo.dtype
+        B = z_exo.shape[0]
+        self.B = B
+        ne = exo.n_exp
+        self.H_exp = None
+        self.g_exp = None
+        if ne:
+            zf = z_exo[:, :3 * ne].reshape(B * ne, 3)
+            g = _exp_grad(zf).reshape(B, ne, 3)
+            h = _exp_hess(zf).reshape(B, ne, 3, 3)
+            self.g_exp = g
+            self.H_exp = mu[:, None, None, None] * h
+        self.W_psd = []       # NT point per PSD block (B, s, s)
+        off = exo.psd_off
+        for s in exo.psd_dims:
+            k = s * (s + 1) // 2
+            Sm = _svec_to_mat(s_exo[:, off:off + k], s)
+            Zm = _svec_to_mat(z_exo[:, off:off + k], s)
+            self.W_psd.append(_psd_nt_scaling(Sm, Zm))
+            off += k
+        self.H_pow = []
+        self.g_pow = []
+        off = exo.pow_off
+        for a in exo.pow_alphas:
+            z3 = z_exo[:, off:off + 3]
+            g, h = _pow_grad_hess(z3, a)
+            self.g_pow.append(g)
+            self.H_pow.append(mu[:, None, None] * h)
+            off += 3
+
+    def centering_rhs(self, z_exo):
+        """-grad F*(z) stacked over exotic rows (B, dim); PSD blocks use
+        -svec(Z^{-1}) computed directly."""
+        exo = self.exo
+        B = self.B
+        parts = []
+        if exo.n_exp:
+            parts.append(-self.g_exp.reshape(B, 3 * exo.n_exp))
+        off = exo.psd_off
+        for s in exo.psd_dims:
+            k = s * (s + 1) // 2
+            Zm = _svec_to_mat(z_exo[:, off:off + k], s)
+            Zi = jnp.linalg.inv(Zm)
+            Zi = 0.5 * (Zi + jnp.swapaxes(Zi, -1, -2))
+            parts.append(_mat_to_svec(Zi, s))
+            off += k
+        for g in self.g_pow:
+            parts.append(-g)
+        return jnp.concatenate(parts, axis=1) if parts else \
+            jnp.zeros((B, 0), self.dtype)
+
+    # -- H actions -----------------------------------------------------
+    def apply(self, v_exo):
+        """H v over the exotic rows (B, dim)."""
+        exo = self.exo
+        B = self.B
+        parts = []
+        if exo.n_exp:
+            vf = v_exo[:, :3 * exo.n_exp].reshape(B, exo.n_exp, 3)
+            parts.append(jnp.einsum('bnij,bnj->bni', self.H_exp,
+                                    vf).reshape(B, 3 * exo.n_exp))
+        off = exo.psd_off
+        for (s, W) in zip(exo.psd_dims, self.W_psd):
+            k = s * (s + 1) // 2
+            M = _svec_to_mat(v_exo[:, off:off + k], s)
+            WMW = jnp.einsum('bij,bjk,bkl->bil', W, M, W)
+            parts.append(_mat_to_svec(WMW, s))
+            off += k
+        i = 0
+        off = exo.pow_off
+        for _ in exo.pow_alphas:
+            parts.append(jnp.einsum('bij,bj->bi', self.H_pow[i],
+                                    v_exo[:, off:off + 3]))
+            i += 1
+            off += 3
+        return jnp.concatenate(parts, axis=1) if parts else \
+            jnp.zeros((B, 0), self.dtype)
+
+    def set_H(self, H, row0, inv=False):
+        """Write the exotic diagonal blocks into the dense KKT H matrix
+        (B, mc, mc) starting at row/col offset row0."""
+        exo = self.exo
+        B = self.B
+        if exo.n_exp:
+            Hs = self.H_exp
+            Hs = _inv33(Hs.reshape(B * exo.n_exp, 3, 3)).reshape(
+                Hs.shape) if inv else Hs
+            for i in range(exo.n_exp):
+                o = row0 + 3 * i
+                H = H.at[:, o:o + 3, o:o + 3].set(Hs[:, i])
+        off = row0 + exo.psd_off
+        for (s, W) in zip(exo.psd_dims, self.W_psd):
+            k = s * (s + 1) // 2
+            Wu = jnp.linalg.inv(W) if inv else W
+            E = _psd_basis(s, self.dtype)
+            T = jnp.einsum('bpq,kqr,brs->bkps', Wu, E, Wu)
+            blk = _mat_to_svec(T, s)          # (B, k_col, k_row)
+            blk = jnp.swapaxes(blk, 1, 2)
+            H = H.at[:, off:off + k, off:off + k].set(blk)
+            off += k
+        off = row0 + exo.pow_off
+        for Hp in self.H_pow:
+            blk = _inv33(Hp) if inv else Hp
+            H = H.at[:, off:off + 3, off:off + 3].set(blk)
+            off += 3
+        return H
+
+
+def _inv33(A):
+    """Closed-form inverse of (..., 3, 3) matrices (adjugate / det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+# ---------------------------------------------------------------------------
+# initialization, membership, step length, violation
+# ---------------------------------------------------------------------------
+
+# standard strictly-interior unit point of K_exp that also lies strictly
+# inside K*_exp (ECOS/Hypatia choice); s' z = 3 so mu starts balanced
+_EXP_INIT = (-1.051383945322714, 0.556409619469370, 1.258967884768947)
+
+
+def exotic_init(B, exo: ExoticCones, dtype):
+    """Strictly interior starting point, used for both s and z."""
+    parts = []
+    if exo.n_exp:
+        e = jnp.asarray(_EXP_INIT, dtype)
+        parts.append(jnp.tile(e, (B, exo.n_exp)))
+    for s in exo.psd_dims:
+        r, c, sc = svec_indices(s)
+        ident = jnp.asarray([1.0 if rr == cc else 0.0
+                             for rr, cc in zip(r, c)], dtype)
+        parts.append(jnp.tile(ident, (B, 1)))
+    for a in exo.pow_alphas:
+        p = jnp.asarray([jnp.sqrt(1.0 + a), jnp.sqrt(2.0 - a), 0.0], dtype)
+        parts.append(jnp.tile(p, (B, 1)))
+    return (jnp.concatenate(parts, axis=1) if parts
+            else jnp.zeros((B, 0), dtype))
+
+
+def _exp_primal_in(s3):
+    """(B, 3) -> strict interior of K_exp."""
+    x, y, z = s3[..., 0], s3[..., 1], s3[..., 2]
+    ys = jnp.maximum(y, 1e-300)
+    zs = jnp.maximum(z, 1e-300)
+    return (y > 0) & (z > 0) & (y * jnp.log(zs / ys) - x > 0)
+
+
+def _exp_dual_in(z3):
+    u, v, w = z3[..., 0], z3[..., 1], z3[..., 2]
+    um = jnp.maximum(-u, 1e-300)
+    wm = jnp.maximum(w, 1e-300)
+    return (u < 0) & (w > 0) & (v - u + u * jnp.log(um / wm) > 0)
+
+
+def _pow_primal_in(s3, a):
+    x, y, z = s3[..., 0], s3[..., 1], s3[..., 2]
+    xs = jnp.maximum(x, 1e-300)
+    ys = jnp.maximum(y, 1e-300)
+    phi = 2.0 * (a * jnp.log(xs) + (1.0 - a) * jnp.log(ys))
+    return (x > 0) & (y > 0) & (phi > 2.0 * jnp.log(
+        jnp.maximum(jnp.abs(z), 1e-300)))
+
+
+def _pow_dual_in(z3, a):
+    return _pow_primal_in(
+        jnp.stack([z3[..., 0] / a, z3[..., 1] / (1.0 - a), z3[..., 2]],
+                  axis=-1), a)
+
+
+def _membership(exo: ExoticCones, v, dual):
+    """Strict-interior membership of the exotic subvector v (B, dim)."""
+    B = v.shape[0]
+    ok = jnp.ones((B,), jnp.bool_)
+    if exo.n_exp:
+        t = v[:, :3 * exo.n_exp].reshape(B, exo.n_exp, 3)
+        fn = _exp_dual_in if dual else _exp_primal_in
+        ok = ok & jnp.all(fn(t), axis=1)
+    off = exo.psd_off
+    for s in exo.psd_dims:
+        k = s * (s + 1) // 2
+        lam = jnp.linalg.eigvalsh(_svec_to_mat(v[:, off:off + k], s))
+        ok = ok & (lam[:, 0] > 0)
+        off += k
+    off = exo.pow_off
+    for a in exo.pow_alphas:
+        fn = _pow_dual_in if dual else _pow_primal_in
+        ok = ok & fn(v[:, off:off + 3], a)
+        off += 3
+    return ok
+
+
+def exotic_max_step(exo: ExoticCones, s_exo, ds, z_exo, dz,
+                    cap=2.0, iters=40):
+    """Largest alpha <= cap with s + alpha ds in int K and z + alpha dz in
+    int K* over all exotic blocks; returns _BIG where alpha = cap works.
+
+    PSD blocks use the closed form; exp/pow use batched bisection (the
+    feasible alphas form an interval since the cones are convex)."""
+    B = s_exo.shape[0]
+    alpha = jnp.full((B,), _BIG, s_exo.dtype)
+
+    # closed-form PSD step
+    off = exo.psd_off
+    for s in exo.psd_dims:
+        k = s * (s + 1) // 2
+        for (v, dv) in ((s_exo, ds), (z_exo, dz)):
+            M = _svec_to_mat(v[:, off:off + k], s)
+            dM = _svec_to_mat(dv[:, off:off + k], s)
+            Mi = _mat_sqrt(M, inv=True)
+            T = jnp.einsum('bij,bjk,bkl->bil', Mi, dM, Mi)
+            lmin = jnp.linalg.eigvalsh(T)[:, 0]
+            a = jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0),
+                          _BIG)
+            alpha = jnp.minimum(alpha, a)
+        off += k
+
+    if exo.n_exp or exo.pow_alphas:
+        sub = ExoticCones(exo.n_exp, (), exo.pow_alphas)
+        ps = exo.psd_off
+        pe = exo.pow_off
+        sv = jnp.concatenate([s_exo[:, :ps], s_exo[:, pe:]], axis=1)
+        dsv = jnp.concatenate([ds[:, :ps], ds[:, pe:]], axis=1)
+        zv = jnp.concatenate([z_exo[:, :ps], z_exo[:, pe:]], axis=1)
+        dzv = jnp.concatenate([dz[:, :ps], dz[:, pe:]], axis=1)
+
+        def ok_at(a):
+            return (_membership(sub, sv + a[:, None] * dsv, dual=False)
+                    & _membership(sub, zv + a[:, None] * dzv, dual=True))
+
+        capv = jnp.full((B,), cap, s_exo.dtype)
+        feas_cap = ok_at(capv)
+        lo = jnp.zeros((B,), s_exo.dtype)
+        hi = capv
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            ok = ok_at(mid)
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        a_bis = jnp.where(feas_cap, _BIG, lo)
+        alpha = jnp.minimum(alpha, a_bis)
+    return alpha
+
+
+def exotic_proximity(exo: ExoticCones, s_exo, z_exo, mu):
+    """Scaled-norm centrality measure of the nonsymmetric (exp/pow)
+    blocks:  eta_i = || s_i + mu grad F*(z_i) ||_{grad^2 F*(z_i)^{-1}} / mu
+    (dimensionless; 0 exactly on the central path).  PSD blocks are
+    self-scaled (NT) and excluded.  Returns the max over blocks (B,)."""
+    B = s_exo.shape[0]
+    out = jnp.zeros((B,), s_exo.dtype)
+
+    def block_eta(s3, z3, g, h):
+        r = s3 + mu[:, None] * g
+        hinv_r = jnp.einsum('bij,bj->bi', _inv33(h), r)
+        q = jnp.maximum(jnp.sum(r * hinv_r, axis=1), 0.0)
+        return jnp.sqrt(q) / mu
+
+    if exo.n_exp:
+        ne = exo.n_exp
+        zf = z_exo[:, :3 * ne].reshape(B * ne, 3)
+        g = _exp_grad(zf).reshape(B, ne, 3)
+        h = _exp_hess(zf).reshape(B, ne, 3, 3)
+        for i in range(ne):
+            out = jnp.maximum(out, block_eta(
+                s_exo[:, 3 * i:3 * i + 3], None, g[:, i], h[:, i]))
+    off = exo.pow_off
+    for a in exo.pow_alphas:
+        z3 = z_exo[:, off:off + 3]
+        g, h = _pow_grad_hess(z3, a)
+        out = jnp.maximum(out, block_eta(s_exo[:, off:off + 3], z3, g, h))
+        off += 3
+    return out
+
+
+def exotic_centrality_alpha(exo: ExoticCones, s, ds, z, dz, kdeg, alpha,
+                            beta=0.8, shrink=0.7, backtracks=12):
+    """Neighborhood-safeguarded step length for nonsymmetric blocks.
+
+    The dual-Hessian scaling H = mu grad^2 F*(z) is only a good model of
+    complementarity near the central path; an unrestricted Mehrotra step
+    can park (s_i, z_i) deep in a corner of the cone where H explodes and
+    all subsequent steps collapse (the ECOS-exp/Skajaa-Ye neighborhood
+    rationale).  Shrink alpha until every exp/pow block satisfies
+    eta_i(alpha) <= beta (exotic_proximity).  Backtracking preserves
+    strict feasibility established by the boundary step length."""
+    if not (exo.n_exp or exo.pow_alphas):
+        return alpha
+    ms = s.shape[1] - exo.dim
+
+    def ok(a):
+        sa = s + a[:, None] * ds
+        za = z + a[:, None] * dz
+        mu_a = jnp.maximum(jnp.sum(sa * za, axis=1) / kdeg, 1e-300)
+        return exotic_proximity(exo, sa[:, ms:], za[:, ms:], mu_a) <= beta
+
+    for _ in range(backtracks):
+        alpha = jnp.where(ok(alpha), alpha, alpha * shrink)
+    return alpha
+
+
+def exotic_primal_dist(exo: ExoticCones, v):
+    """Per-instance violation of v (B, dim) vs the PRIMAL exotic cones
+    (recession-cone check for the dual-infeasibility certificate)."""
+    B = v.shape[0]
+    out = jnp.zeros((B,), v.dtype)
+    if exo.n_exp:
+        t = v[:, :3 * exo.n_exp].reshape(B, exo.n_exp, 3)
+        x, y, z = t[..., 0], t[..., 1], t[..., 2]
+        ys = jnp.maximum(y, 1e-12)
+        zs = jnp.maximum(z, 1e-12)
+        main = jnp.where(y > 1e-12, x - y * jnp.log(zs / ys),
+                         jnp.maximum(x, 0.0))
+        viol = jnp.maximum(jnp.maximum(-y, -z), jnp.maximum(main, 0.0))
+        out = jnp.maximum(out, jnp.max(jnp.maximum(viol, 0.0), axis=1))
+    off = exo.psd_off
+    for s in exo.psd_dims:
+        k = s * (s + 1) // 2
+        lam = jnp.linalg.eigvalsh(_svec_to_mat(v[:, off:off + k], s))
+        out = jnp.maximum(out, jnp.maximum(-lam[:, 0], 0.0))
+        off += k
+    off = exo.pow_off
+    for a in exo.pow_alphas:
+        x, y, z = v[:, off], v[:, off + 1], v[:, off + 2]
+        xs = jnp.maximum(x, 0.0)
+        ys = jnp.maximum(y, 0.0)
+        main = jnp.abs(z) - xs ** a * ys ** (1.0 - a)
+        viol = jnp.maximum(jnp.maximum(-x, -y), main)
+        out = jnp.maximum(out, jnp.maximum(viol, 0.0))
+        off += 3
+    return out

@@ -33,7 +33,8 @@ def test_lambda_max_analytic():
     # compiled conic ADMM path
     fam = canonicalize(prob)
     solv = make_compiled_solver(fam, 'CLARABEL')
-    assert type(solv).__name__ == 'CompiledConicADMMSolver'
+    # CLARABEL alias -> IPM engine, which covers PSD cones natively
+    assert type(solv).__name__ == 'CompiledConicSolver'
     solv.solve_into_problem(prob)
     assert abs(prob.value - ref) < 5e-3 * max(1, abs(ref))
 
