@@ -327,8 +327,9 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                     settings: IPMSettings = IPMSettings(),
                     n_exp=0, psd_dims=(), pow_alphas=()):
     from .ipm_cones import (ExoticCones, ExoticScaling,
-                            exotic_centrality_alpha, exotic_init,
-                            exotic_max_step, exotic_primal_dist)
+                            exotic_centrality_alpha, exotic_dual_dist,
+                            exotic_init, exotic_max_step,
+                            exotic_primal_dist)
     st = settings
     B, n = q.shape
     mz = E.shape[1] if E.ndim == 3 else 0
@@ -432,11 +433,14 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
               & (gap < tol_gap * jnp.maximum(1.0, jnp.abs(obj))))
         return ok, rp, rd, gap
 
-    def infeasibility(xu, nuu, zu):
-        """Certificates on the (unscaled) iterates, Clarabel-style:
+    def infeasibility(xu, nuu, zu, membership=False):
+        """Certificates on (unscaled) candidate rays, Clarabel-style:
         primal infeasible when y = (nu, z) approximately satisfies
         E'nu + G'z = 0, z in K*, f'nu + h'z < 0; dual infeasible when x
-        approximately satisfies Px = 0, Ex = 0, Gx in -K, q'x < 0."""
+        approximately satisfies Px = 0, Ex = 0, Gx in -K, q'x < 0.
+        ``membership``: additionally require z in K* explicitly -- needed
+        when the candidate is a step DIRECTION rather than an iterate
+        (iterates satisfy z in K* by construction)."""
         y_n = jnp.maximum(
             jnp.max(jnp.abs(zu), axis=1),
             jnp.max(jnp.abs(nuu), axis=1) if mz else 0.0)
@@ -448,6 +452,12 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         p_inf = ((y_n > 1e-8)
                  & (jnp.max(jnp.abs(Aty), axis=1) <= tol_inf * y_n)
                  & (by <= -tol_inf * y_n))
+        if membership:
+            zdist = cone_dist(zu[:, :ms], l_nonneg, socs)  # self-dual part
+            if exo:
+                zdist = jnp.maximum(zdist,
+                                    exotic_dual_dist(exo, zu[:, ms:]))
+            p_inf = p_inf & (zdist <= tol_inf * y_n)
 
         x_n = jnp.max(jnp.abs(xu), axis=1)
         Px = jnp.einsum('bij,bj->bi', P0, xu)
@@ -607,7 +617,14 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                              + (jnp.sum(ry * ry, axis=1) if mz else 0.0)
                              + jnp.sum(rz * rz, axis=1))
             floor = 0.1 * res_k * inv_ratio0 / jnp.maximum(mu, 1e-300)
-            sigma = jnp.maximum(sigma, jnp.minimum(1.0 - 1e-8, floor))
+            # only once real feasibility progress exists: an infeasible
+            # instance never gets below ~res_0, and flooring sigma there
+            # would hold the iterates back from diverging along the
+            # certificate ray (infeasibility detection needs divergence)
+            active = res_k <= 0.1 * res00
+            sigma = jnp.where(
+                active,
+                jnp.maximum(sigma, jnp.minimum(1.0 - 1e-8, floor)), sigma)
 
         # combined direction: symmetric blocks get the full Mehrotra
         # corrector in lambda coordinates; exotic blocks the sigma-weighted
@@ -646,6 +663,18 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         rxu, ryu, rzu, Pxu = residuals_unscaled(xu, nuu, zu, su)
         ok, _, _, _ = converged(rxu, ryu, rzu, xu, zu, su, Pxu)
         p_inf, d_inf = infeasibility(xu, nuu, zu)
+        if exo:
+            # direction-based certificates (the OSQP delta-y pattern):
+            # the neighborhood safeguards throttle iterate divergence for
+            # nonsymmetric layouts, so the certificate ray shows up in
+            # the step direction, not the iterate.  The AFFINE direction
+            # is the one that chases the (infeasible) target -- the
+            # combined direction under a sigma~1 floor is a centering
+            # direction and never aligns with the ray
+            dxu, dnuu, dzu, _ = unscale(dx_a, dnu_a, dz_a, ds_a)
+            p_dir, d_dir = infeasibility(dxu, dnuu, dzu, membership=True)
+            p_inf = p_inf | p_dir
+            d_inf = d_inf | d_dir
         newly_ok = ok & ~done
         status = jnp.where(newly_ok, 1, status)
         status = jnp.where(p_inf & (status == 0), -3, status)

@@ -515,6 +515,42 @@ def exotic_centrality_alpha(exo: ExoticCones, s, ds, z, dz, kdeg, alpha,
     return alpha
 
 
+def exotic_dual_dist(exo: ExoticCones, v):
+    """Per-instance violation of v (B, dim) vs the DUAL exotic cones --
+    used by the direction-based primal-infeasibility certificate, where
+    the candidate ray dz is not in K* by construction."""
+    B = v.shape[0]
+    out = jnp.zeros((B,), v.dtype)
+    if exo.n_exp:
+        t = v[:, :3 * exo.n_exp].reshape(B, exo.n_exp, 3)
+        u, vv, w = t[..., 0], t[..., 1], t[..., 2]
+        # K* = cl{(u,v,w): u<0, w>0, v - u + u log(-u/w) >= 0};
+        # boundary cases: u = 0 requires v >= 0, w >= 0
+        um = jnp.maximum(-u, 1e-12)
+        wm = jnp.maximum(w, 1e-12)
+        main = jnp.where(-u > 1e-12,
+                         -(vv - u + u * jnp.log(um / wm)),
+                         jnp.maximum(-vv, 0.0))
+        viol = jnp.maximum(jnp.maximum(u, -w), jnp.maximum(main, 0.0))
+        out = jnp.maximum(out, jnp.max(jnp.maximum(viol, 0.0), axis=1))
+    off = exo.psd_off
+    for s in exo.psd_dims:
+        k = s * (s + 1) // 2
+        lam = jnp.linalg.eigvalsh(_svec_to_mat(v[:, off:off + k], s))
+        out = jnp.maximum(out, jnp.maximum(-lam[:, 0], 0.0))
+        off += k
+    off = exo.pow_off
+    for a in exo.pow_alphas:
+        u, vv, w = v[:, off], v[:, off + 1], v[:, off + 2]
+        us = jnp.maximum(u / a, 0.0)
+        vs = jnp.maximum(vv / (1.0 - a), 0.0)
+        main = jnp.abs(w) - us ** a * vs ** (1.0 - a)
+        viol = jnp.maximum(jnp.maximum(-u, -vv), main)
+        out = jnp.maximum(out, jnp.maximum(viol, 0.0))
+        off += 3
+    return out
+
+
 def exotic_primal_dist(exo: ExoticCones, v):
     """Per-instance violation of v (B, dim) vs the PRIMAL exotic cones
     (recession-cone check for the dual-infeasibility certificate)."""

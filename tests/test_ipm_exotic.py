@@ -203,3 +203,37 @@ def test_pow_ipm_f32():
            s.solve_batch(jnp.asarray([[2.0]])).items()}
     assert out['status'][0] == 1
     assert abs(-float(out['obj'][0] + out['d'][0]) - 2.0) < 2e-3 * 2.0
+
+
+def test_exp_unbounded_certificate():
+    """Dual-infeasibility (unbounded) certificate on an exp family."""
+    n = 5
+    rng = np.random.default_rng(7)
+    x = ct.Variable(n, name='x')
+    c = ct.Parameter(n, name='c')
+    prob = ct.Problem(ct.Minimize(ct.sum(ct.exp(x)) - c @ x),
+                      [ct.sum(x) <= 1.0])
+    c.value = rng.normal(size=n)       # negative entries -> unbounded below
+    fam = canonicalize(prob)
+    s = make_compiled_solver(fam, 'CLARABEL')
+    s.solve_into_problem(prob)
+    assert prob.status == 'unbounded'
+    assert prob.value == -np.inf
+
+
+def test_exp_infeasible_status_honest():
+    """Primal-infeasible exp problem must never be reported optimal.
+
+    Without a homogeneous embedding, nonsymmetric-cone infeasibility
+    detection is best-effort (iterate + direction certificates); the
+    neighborhood safeguards can keep the iterates from diverging fast
+    enough for the certificate to fire, in which case the honest status
+    is max_iter (see PARITY.md known gaps)."""
+    y = ct.Variable(name='y')
+    q = ct.Parameter(name='q')
+    prob = ct.Problem(ct.Minimize(y), [ct.exp(y) <= q, y >= 0.0])
+    q.value = -1.0
+    fam = canonicalize(prob)
+    s = make_compiled_solver(fam, 'CLARABEL')
+    s.solve_into_problem(prob)
+    assert prob.status in ('infeasible', 'max_iter')
