@@ -183,6 +183,11 @@ def main():
         except Exception as e:
             print(f'# charging bench failed: {type(e).__name__}: {e}',
                   file=sys.stderr, flush=True)
+        try:
+            result.update(_bench_exp_entropy(jax, jnp, dtype))
+        except Exception as e:
+            print(f'# entropy bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr, flush=True)
 
     print(json.dumps(result))
 
@@ -228,6 +233,60 @@ def _bench_socp_adp(jax, jnp, dtype):
         'socp_adp_batch': B,
         'socp_frac_solved': float(np.mean(np.asarray(out['solved']))),
         'socp_mean_iters': float(np.mean(np.asarray(out['iters']))),
+    }
+
+
+def _bench_exp_entropy(jax, jnp, dtype):
+    """Exp-cone entropy family on the nonsymmetric IPM (device validation
+    of solvers/ipm_cones.py):  max c'x + sum(entr(x)) s.t. sum(x) = 1,
+    B distinct c vectors.  Parity anchor is ANALYTIC (not the oracle):
+    the optimum is x = softmax(c), objective = logsumexp(c)."""
+    import numpy as np
+    import cvxpygen_tpu as ct
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.runtime.solver import CompiledConicSolver
+    from cvxpygen_tpu.solvers.ipm import IPMSettings
+
+    n = int(os.environ.get('BENCH_ENTROPY_N', '32'))
+    B = int(os.environ.get('BENCH_ENTROPY_BATCH', '1024'))
+    x = ct.Variable(n, name='x')
+    c = ct.Parameter(n, name='c')
+    prob = ct.Problem(ct.Maximize(c @ x + ct.sum(ct.entr(x))),
+                      [ct.sum(x) == 1.0])
+    rng = np.random.default_rng(5)
+    cs = rng.normal(size=(B, n))
+    c.value = cs[0]
+    fam = canonicalize(prob)
+    base = fam.pack_theta(params=prob.parameters())
+    ci = [pi for pi in fam.param_info if pi.name == 'c'][0]
+    theta = np.tile(base, (B, 1))
+    theta[:, ci.offset:ci.offset + ci.flat_size] = cs
+    dt = dtype or jnp.float64
+    solver = CompiledConicSolver(
+        fam, settings=IPMSettings.for_dtype(dt, max_iter=60,
+                                            tol_feas=1e-4, tol_gap=1e-4),
+        dtype=dtype)
+    t0 = time.perf_counter()
+    out = solver.solve_batch(theta)
+    _materialize(out['obj'])
+    print(f'# entropy compile+first: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr, flush=True)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solver.solve_batch(theta)
+        _materialize(out['obj'])
+    elapsed = time.perf_counter() - t0
+    obj = -(np.asarray(out['obj']) + np.asarray(out['d']))  # Maximize sign
+    ref = np.log(np.sum(np.exp(cs), axis=1))                # logsumexp
+    parity = float(np.max(np.abs(obj - ref) / np.maximum(1.0, np.abs(ref))))
+    return {
+        'entropy_solves_per_s': round(B * reps / elapsed, 1),
+        'entropy_batch': B,
+        'entropy_n': n,
+        'entropy_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'entropy_mean_iters': float(np.mean(np.asarray(out['iters']))),
+        'entropy_parity_analytic': parity,
     }
 
 

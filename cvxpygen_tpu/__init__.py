@@ -45,4 +45,7 @@ def __getattr__(name):
     if name == 'TorchLayer':
         from .autodiff.torch_layer import TorchLayer
         return TorchLayer
+    if name == 'JaxLayer':
+        from .autodiff.jax_layer import JaxLayer
+        return JaxLayer
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
