@@ -262,9 +262,14 @@ def _bench_exp_entropy(jax, jnp, dtype):
     theta = np.tile(base, (B, 1))
     theta[:, ci.offset:ci.offset + ci.flat_size] = cs
     dt = dtype or jnp.float64
+    # f32 tolerance floor for nonsymmetric cones is ~1e-3 (the exp
+    # barrier Hessian scales like 1/mu^2; see runtime/solver.py); the
+    # reference parity bar is 0.1 relative
+    tol = 1e-3 if (dtype == jnp.float32
+                   or (dtype is None and dt == jnp.float32)) else 1e-6
     solver = CompiledConicSolver(
         fam, settings=IPMSettings.for_dtype(dt, max_iter=60,
-                                            tol_feas=1e-4, tol_gap=1e-4),
+                                            tol_feas=tol, tol_gap=tol),
         dtype=dtype)
     t0 = time.perf_counter()
     out = solver.solve_batch(theta)
@@ -279,7 +284,10 @@ def _bench_exp_entropy(jax, jnp, dtype):
     elapsed = time.perf_counter() - t0
     obj = -(np.asarray(out['obj']) + np.asarray(out['d']))  # Maximize sign
     ref = np.log(np.sum(np.exp(cs), axis=1))                # logsumexp
-    parity = float(np.max(np.abs(obj - ref) / np.maximum(1.0, np.abs(ref))))
+    sv = np.asarray(out['status']) == 1
+    parity = float(np.max(np.abs(obj[sv] - ref[sv])
+                          / np.maximum(1.0, np.abs(ref[sv])))) \
+        if sv.any() else float('nan')
     return {
         'entropy_solves_per_s': round(B * reps / elapsed, 1),
         'entropy_batch': B,

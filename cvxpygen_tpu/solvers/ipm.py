@@ -66,6 +66,16 @@ class IPMSettings:
     kkt_solver: str = 'auto'     # 'lu' | 'schur' | 'auto'
     ns_iters: int = 24           # cold Newton-Schulz iterations ('schur')
     ns_warm_iters: int = 12      # warm restart across IPM iterations
+    # nonsymmetric-cone (exp/pow) neighborhood (solvers/ipm_cones.py).
+    # Swept on the 32-exp-cone entropy family (B=256): beta in [1.5, 3]
+    # with a 0.85-0.95 boundary fraction solves 100% in ~11 iters; the
+    # symmetric 0.99 boundary fraction or a tight beta strand ~7-25% of
+    # instances (BENCH.md)
+    exotic_beta: float = 2.0
+    exotic_shrink: float = 0.7
+    exotic_backtracks: int = 12
+    exotic_frac_to_boundary: float = 0.9
+    exotic_scaling: str = 'pd'   # 'pd' (two-secant) | 'dual' (mu H*(z))
 
     @classmethod
     def for_dtype(cls, dtype, **overrides):
@@ -348,7 +358,13 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
 
     kkt_mode = st.kkt_solver
     if kkt_mode == 'auto':
-        kkt_mode = 'schur' if jax.default_backend() == 'tpu' else 'lu'
+        # 'schur' (factorization-free Newton-Schulz) is the TPU path for
+        # symmetric layouts; nonsymmetric barrier Hessians (exp/pow) make
+        # the Schur complement too ill-conditioned for NS as mu -> 0
+        # (measured: entropy family 0% solved on TPU in schur mode), so
+        # exotic layouts use batched LU everywhere
+        kkt_mode = 'schur' if (jax.default_backend() == 'tpu'
+                               and not exo) else 'lu'
 
     # keep unscaled data for honest termination / certificates
     P0, q0, E0, f0, G0, h0 = P, q, E, f, G, h
@@ -579,7 +595,8 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         zsym, zexo = z[:, :ms], z[:, ms:]
         W = BatchNT(ssym, zsym, l_nonneg, socs)
         lam = W.mul(zsym)
-        ES = ExoticScaling(exo, sexo, zexo, mu) if exo else None
+        ES = ExoticScaling(exo, sexo, zexo, mu,
+                           strategy=st.exotic_scaling) if exo else None
         solve = make_solver(W, ES)
 
         def with_ds(dx, dz):
@@ -601,6 +618,17 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                                     zexo, dz_a[:, ms:])
             a_sym = jnp.minimum(a_sym, a_exo)
         alpha_aff = jnp.minimum(1.0, a_sym)
+        if exo:
+            # proximity-backtrack the affine step too: the combined
+            # step's sigma comes from mu_aff, and if the affine step
+            # pretends it can travel further than the neighborhood
+            # allows, sigma under-centers and the combined step is
+            # strangled by the same neighborhood (measured deadlock:
+            # prox pins at beta, alpha -> 0, mu frozen)
+            alpha_aff = exotic_centrality_alpha(
+                exo, s, ds_a, z, dz_a, kdeg, alpha_aff,
+                beta=st.exotic_beta, shrink=st.exotic_shrink,
+                backtracks=st.exotic_backtracks)
         mu_aff = jnp.sum((s + alpha_aff[:, None] * ds_a)
                          * (z + alpha_aff[:, None] * dz_a), axis=1) / kdeg
         sigma = jnp.clip((mu_aff / mu) ** 3, 1e-8, 1.0 - 1e-8)
@@ -617,14 +645,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                              + (jnp.sum(ry * ry, axis=1) if mz else 0.0)
                              + jnp.sum(rz * rz, axis=1))
             floor = 0.1 * res_k * inv_ratio0 / jnp.maximum(mu, 1e-300)
-            # only once real feasibility progress exists: an infeasible
-            # instance never gets below ~res_0, and flooring sigma there
-            # would hold the iterates back from diverging along the
-            # certificate ray (infeasibility detection needs divergence)
-            active = res_k <= 0.1 * res00
-            sigma = jnp.where(
-                active,
-                jnp.maximum(sigma, jnp.minimum(1.0 - 1e-8, floor)), sigma)
+            sigma = jnp.maximum(sigma, jnp.minimum(1.0 - 1e-8, floor))
 
         # combined direction: symmetric blocks get the full Mehrotra
         # corrector in lambda coordinates; exotic blocks the sigma-weighted
@@ -645,9 +666,12 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         if exo:
             a_step = jnp.minimum(a_step, exotic_max_step(
                 exo, sexo, ds[:, ms:], zexo, dz[:, ms:]))
-        alpha = jnp.minimum(1.0, st.frac_to_boundary * a_step)
+        ftb = st.exotic_frac_to_boundary if exo else st.frac_to_boundary
+        alpha = jnp.minimum(1.0, ftb * a_step)
         if exo:
-            alpha = exotic_centrality_alpha(exo, s, ds, z, dz, kdeg, alpha)
+            alpha = exotic_centrality_alpha(
+                exo, s, ds, z, dz, kdeg, alpha, beta=st.exotic_beta,
+                shrink=st.exotic_shrink, backtracks=st.exotic_backtracks)
 
         # freeze finished instances with where, NOT alpha=0: a converged
         # instance's NT scaling degenerates (s, z on the boundary) and its

@@ -48,6 +48,15 @@ import jax.numpy as jnp
 from ..ops.cones import svec_indices
 
 _BIG = 1e20
+import os
+# PD/dual crossover (see _pd_scaling_full): blocks with
+# det(S'Z)/(s'z s~'z~) below this use the plain dual scaling (exact and
+# fastest near the central path), above it the two-secant primal-dual
+# scaling (robust off-center).  Swept on sum-exp/log/entropy-32 families
+# (BENCH.md): 0.1 keeps every stress instance solving with ~1.5-2x fewer
+# iterations than pure-PD; 0.3+ is faster still but loses extreme-theta
+# instances.  Env override for experimentation only.
+_PD_THRESH = float(os.environ.get('CPG_PD_THRESH', '0.1'))
 
 
 @dataclass(frozen=True)
@@ -123,8 +132,19 @@ def _pow_dual_barrier(z, a):
     return _pow_barrier(z[0] / a, z[1] / (1.0 - a), z[2], a)
 
 
+def _exp_primal_barrier(s):
+    """nu=3 barrier of K_exp = cl{(x,y,z): y>0, y e^{x/y} <= z}."""
+    x, y, z = s[0], s[1], s[2]
+    return (-jnp.log(y * jnp.log(z / y) - x) - jnp.log(y) - jnp.log(z))
+
+
+def _pow_primal_barrier(s, a):
+    return _pow_barrier(s[0], s[1], s[2], a)
+
+
 _exp_grad = jax.vmap(jax.grad(_exp_dual_barrier))
 _exp_hess = jax.vmap(jax.hessian(_exp_dual_barrier))
+_exp_pgrad = jax.vmap(jax.grad(_exp_primal_barrier))
 
 
 def _pow_grad_hess(z3, a):
@@ -132,6 +152,57 @@ def _pow_grad_hess(z3, a):
     g = jax.vmap(jax.grad(lambda z: _pow_dual_barrier(z, a)))(z3)
     h = jax.vmap(jax.hessian(lambda z: _pow_dual_barrier(z, a)))(z3)
     return g, h
+
+
+def _pd_scaling_full(s3, z3, g, h, zt):
+    """Primal-dual (two-secant BFGS) scaling for a 3-dim nonsymmetric
+    cone block (Dahl & Andersen 2021; the MOSEK/Clarabel exp-cone
+    strategy).  Given the dual barrier gradient g = grad F*(z) and
+    Hessian h = grad^2 F*(z), and the primal shadow z~ = -grad F(s),
+    build H > 0 satisfying BOTH secant equations exactly:
+
+        H z = s      and      H z~ = s~ ,   s~ = -g in int K.
+
+    Construction: with S = [s, s~], Z = [z, z~], M = S'Z (2x2, symmetric
+    because s'z~ = s~'z = nu = 3 by logarithmic homogeneity),
+
+        H = S M^{-1} S' + (I - S M^{-1} Z') T (I - Z M^{-1} S'),
+
+    T = mu_blk * h.  Then H Z = S M^{-1} M = S (the second term kills Z),
+    and x'Hx >= 0 when M > 0.  det M = s'z s~'z~ - nu^2 >= 0 with
+    equality exactly on the central path (s parallel to s~), where the
+    block falls back to T -- which is the exact scaling there.
+
+    s3, z3, zt: (N, 3); g: (N, 3); h: (N, 3, 3).  Returns (N, 3, 3)."""
+    nu = 3.0
+    s_t = -g                                       # s~ in int K
+    a11 = jnp.sum(s3 * z3, axis=1)                 # s'z
+    mu_loc = a11 / nu
+    T = mu_loc[:, None, None] * h
+    a22 = jnp.sum(s_t * zt, axis=1)                # s~'z~
+    det = a11 * a22 - nu * nu
+    # crossover: near the central path (det/(s'z s~'z~) -> 0) the plain
+    # dual scaling T is exact AND converges faster in the endgame, so the
+    # two-secant form engages only when the block is meaningfully
+    # off-center (threshold swept in BENCH.md)
+    ok = (det > _PD_THRESH * jnp.maximum(a11 * a22, 1e-30)) \
+        & jnp.isfinite(det) & jnp.all(jnp.isfinite(zt), axis=1)
+    dsafe = jnp.where(ok, det, 1.0)
+    # M^{-1} = [[a22, -nu], [-nu, a11]] / det
+    S = jnp.stack([s3, s_t], axis=2)               # (N, 3, 2)
+    Z = jnp.stack([z3, zt], axis=2)
+    Minv = jnp.stack([
+        jnp.stack([a22, -nu * jnp.ones_like(a11)], axis=1),
+        jnp.stack([-nu * jnp.ones_like(a11), a11], axis=1)],
+        axis=1) / dsafe[:, None, None]             # (N, 2, 2)
+    SMi = jnp.einsum('nik,nkl->nil', S, Minv)      # S M^{-1} (N, 3, 2)
+    H1 = jnp.einsum('nik,njk->nij', SMi, S)        # S M^{-1} S'
+    P = jnp.eye(3, dtype=s3.dtype)[None] \
+        - jnp.einsum('nik,njk->nij', SMi, Z)       # I - S M^{-1} Z'
+    H2 = jnp.einsum('nik,nkl,njl->nij', P, T, P)   # P T P'
+    Hpd = H1 + H2
+    Hpd = 0.5 * (Hpd + jnp.swapaxes(Hpd, 1, 2))
+    return jnp.where(ok[:, None, None], Hpd, T)
 
 
 # ---------------------------------------------------------------------------
@@ -189,9 +260,14 @@ def _psd_nt_scaling(S, Z):
 
 class ExoticScaling:
     """Per-iteration scaling data: H blocks (and their inverses on demand),
-    dual-barrier gradients for the centering RHS."""
+    dual-barrier gradients for the centering RHS.
 
-    def __init__(self, exo: ExoticCones, s_exo, z_exo, mu):
+    ``strategy``: 'pd' = two-secant primal-dual scaling (_pd_scaling_full,
+    the Dahl-Andersen/MOSEK choice -- robust off-center), 'dual' =
+    mu * grad^2 F*(z) (ECOS-exp choice -- cheaper, accurate near the
+    central path)."""
+
+    def __init__(self, exo: ExoticCones, s_exo, z_exo, mu, strategy='pd'):
         self.exo = exo
         self.dtype = z_exo.dtype
         B = z_exo.shape[0]
@@ -201,10 +277,17 @@ class ExoticScaling:
         self.g_exp = None
         if ne:
             zf = z_exo[:, :3 * ne].reshape(B * ne, 3)
-            g = _exp_grad(zf).reshape(B, ne, 3)
-            h = _exp_hess(zf).reshape(B, ne, 3, 3)
-            self.g_exp = g
-            self.H_exp = mu[:, None, None, None] * h
+            sf = s_exo[:, :3 * ne].reshape(B * ne, 3)
+            g = _exp_grad(zf)
+            h = _exp_hess(zf)
+            self.g_exp = g.reshape(B, ne, 3)
+            if strategy == 'pd':
+                zt = -_exp_pgrad(sf)
+                Hf = _pd_scaling_full(sf, zf, g, h, zt)
+            else:
+                mu_r = jnp.repeat(mu, ne)
+                Hf = mu_r[:, None, None] * h
+            self.H_exp = Hf.reshape(B, ne, 3, 3)
         self.W_psd = []       # NT point per PSD block (B, s, s)
         off = exo.psd_off
         for s in exo.psd_dims:
@@ -218,9 +301,15 @@ class ExoticScaling:
         off = exo.pow_off
         for a in exo.pow_alphas:
             z3 = z_exo[:, off:off + 3]
+            s3 = s_exo[:, off:off + 3]
             g, h = _pow_grad_hess(z3, a)
             self.g_pow.append(g)
-            self.H_pow.append(mu[:, None, None] * h)
+            if strategy == 'pd':
+                zt = -jax.vmap(
+                    jax.grad(lambda s, aa=a: _pow_primal_barrier(s, aa)))(s3)
+                self.H_pow.append(_pd_scaling_full(s3, z3, g, h, zt))
+            else:
+                self.H_pow.append(mu[:, None, None] * h)
             off += 3
 
     def centering_rhs(self, z_exo):
@@ -504,14 +593,24 @@ def exotic_centrality_alpha(exo: ExoticCones, s, ds, z, dz, kdeg, alpha,
         return alpha
     ms = s.shape[1] - exo.dim
 
-    def ok(a):
+    def prox_at(a):
         sa = s + a[:, None] * ds
         za = z + a[:, None] * dz
         mu_a = jnp.maximum(jnp.sum(sa * za, axis=1) / kdeg, 1e-300)
-        return exotic_proximity(exo, sa[:, ms:], za[:, ms:], mu_a) <= beta
+        return exotic_proximity(exo, sa[:, ms:], za[:, ms:], mu_a)
 
+    # relative acceptance: inside the neighborhood, stay inside; outside
+    # (a previous step overshot, or the boundary step is too short to
+    # re-enter in one move), accept steps that keep proximity within 1%
+    # of its current value.  prox(alpha) -> prox0 as alpha -> 0, so any
+    # threshold BELOW prox0 deadlocks (every candidate rejected, the
+    # fully-backtracked step changes nothing, prox pins just above beta
+    # and mu freezes -- measured on the sum-exp family at large p); a
+    # slightly-above band keeps real steps flowing while the sigma floor's
+    # centering pressure brings proximity back down over a few iterations
+    thr = jnp.maximum(beta, 1.01 * prox_at(jnp.zeros_like(alpha)))
     for _ in range(backtracks):
-        alpha = jnp.where(ok(alpha), alpha, alpha * shrink)
+        alpha = jnp.where(prox_at(alpha) <= thr, alpha, alpha * shrink)
     return alpha
 
 
