@@ -276,8 +276,28 @@ class ExplicitRuntime:
                 measure_coverage)
             mp = extract_mpqp(family, theta_ref=theta_ref,
                               theta_box=opts.get('theta_box'))
-            regions = enumerate_regions(
-                mp, max_regions=int(opts.get('max_regions', 500)))
+            # capacity caps (parity: reference pdaqp.py:83-84 exposes both
+            # max_regions and max_floats; README.md:216-217).  max_floats
+            # bounds the lookup-table storage: each region stores primal
+            # feedbacks, optional dual feedbacks, and its halfplanes, all
+            # affine in theta -- translate the float budget into an
+            # effective region cap before enumeration.
+            max_regions = int(opts.get('max_regions', 500))
+            max_floats = float(opts.get('max_floats', 1e6))
+            nth = mp.F.shape[1] + 1
+            n_store = family.n
+            m_dual = (mp.G.shape[0] + mp.E.shape[0]) \
+                if self.explicit == 2 else 0
+            per_region = (n_store + m_dual + mp.G.shape[0]) * nth
+            floats_cap = max(1, int(max_floats // max(per_region, 1)))
+            if floats_cap < max_regions:
+                import warnings
+                warnings.warn(
+                    f'max_floats={max_floats:g} limits the explicit table '
+                    f'to {floats_cap} regions (~{per_region} floats each); '
+                    f'max_regions={max_regions} is not reachable')
+                max_regions = floats_cap
+            regions = enumerate_regions(mp, max_regions=max_regions)
             stored_idx = None
             if opts.get('stored_vars') is not None:
                 stored_idx = _stored_idx(family, opts['stored_vars'])

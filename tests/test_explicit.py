@@ -212,3 +212,19 @@ def test_degenerate_licq(tmp_path):
         x_exp = np.maximum(bv, 0.0) * np.ones(2)
         np.testing.assert_allclose(np.asarray(x.value).ravel(), x_exp,
                                    atol=1e-5), bv
+
+
+def test_max_floats_cap(tmp_path):
+    """max_floats bounds table storage by translating the float budget
+    into an effective region cap (reference pdaqp.py:83-84,
+    README.md:216-217)."""
+    import warnings
+    problem, x, b = _regression_problem(q=6, d=4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        mod = cpg.generate_code(problem, code_dir=str(tmp_path / 'mf'),
+                                solver='explicit',
+                                solver_opts={'max_floats': 200.0})
+        msgs = ' '.join(str(x.message) for x in w)
+        assert 'max_floats' in msgs
+    assert mod._runtime.data.n_regions <= 10
