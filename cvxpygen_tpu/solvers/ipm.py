@@ -362,7 +362,13 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         # symmetric layouts; nonsymmetric barrier Hessians (exp/pow) make
         # the Schur complement too ill-conditioned for NS as mu -> 0
         # (measured: entropy family 0% solved on TPU in schur mode), so
-        # exotic layouts use batched LU everywhere
+        # exotic layouts use batched LU everywhere.  'schur_chol'
+        # (Cholesky'd Schur complement, ~4x cheaper on TPU) is available
+        # but NOT auto-selected for exotic layouts: it is numerically
+        # equivalent per-solve, yet its different roundoff pattern tips
+        # the nonsymmetric globalization onto trajectories that race
+        # feasibility ahead of complementarity and wedge (measured:
+        # entropy family rp 1e-16 by iter 8 but gap stuck at 5e-2)
         kkt_mode = 'schur' if (jax.default_backend() == 'tpu'
                                and not exo) else 'lu'
 
@@ -535,8 +541,13 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                     (lu, piv), rhs[..., None])[..., 0]
                 return sol[:, :n], sol[:, n:n + mz], sol[:, n + mz:]
         else:
-            # 'schur': eliminate dz, then dnu; SPD blocks inverted by
-            # Newton-Schulz (MXU path, no factorization)
+            # 'schur' / 'schur_chol': eliminate dz, then dnu.  The SPD
+            # Schur complement is inverted by Newton-Schulz ('schur' --
+            # MXU matmuls, no factorization; right when the cone scalings
+            # are NT-bounded) or factored by batched Cholesky
+            # ('schur_chol' -- exotic barrier Hessians overwhelm NS, and
+            # chol of the small (n, n) S is ~4x cheaper on TPU than LU of
+            # the full (N, N) quasidefinite system)
             from .admm import newton_schulz_inverse
             Hinv = W.wtw_dense(B, mc, dtype, inv=True)
             if exo:
@@ -544,25 +555,51 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             HiG = jnp.einsum('bij,bjk->bik', Hinv, G)       # (B, mc, n)
             S = (P + st.static_reg * I_n
                  + jnp.einsum('bji,bjk->bik', G, HiG))      # SPD (B, n, n)
-            Sinv = newton_schulz_inverse(S, st.ns_iters)
-            if mz:
-                SiEt = jnp.einsum('bij,bkj->bik', Sinv, E)  # (B, n, mz)
-                T = jnp.einsum('bij,bjk->bik', E, SiEt)     # SPD (B,mz,mz)
-                Tinv = newton_schulz_inverse(T, st.ns_iters)
+            if kkt_mode == 'schur_chol':
+                Lc = jnp.linalg.cholesky(S)
 
-            def base_solve(r1, r2, r3):
-                rS = r1 + jnp.einsum('bji,bj->bi', HiG, r3)
+                def S_solve(Xcols):
+                    return jax.scipy.linalg.cho_solve((Lc, True), Xcols)
+
                 if mz:
-                    SirS = jnp.einsum('bij,bj->bi', Sinv, rS)
-                    rhs_nu = r2 - jnp.einsum('bij,bj->bi', E, SirS)
-                    dnu = jnp.einsum('bij,bj->bi', Tinv, rhs_nu)
-                    dx = SirS + jnp.einsum('bij,bj->bi', SiEt, dnu)
-                else:
-                    dnu = jnp.zeros((B, 0), dtype)
-                    dx = jnp.einsum('bij,bj->bi', Sinv, rS)
-                dz = jnp.einsum('bij,bj->bi', Hinv,
-                                r3 - jnp.einsum('bij,bj->bi', G, dx))
-                return dx, dnu, dz
+                    SiEt = S_solve(jnp.swapaxes(E, 1, 2))   # (B, n, mz)
+                    T = jnp.einsum('bij,bjk->bik', E, SiEt)
+                    Tc = jnp.linalg.cholesky(T)
+
+                def base_solve(r1, r2, r3):
+                    rS = r1 + jnp.einsum('bji,bj->bi', HiG, r3)
+                    SirS = S_solve(rS[..., None])[..., 0]
+                    if mz:
+                        rhs_nu = r2 - jnp.einsum('bij,bj->bi', E, SirS)
+                        dnu = jax.scipy.linalg.cho_solve(
+                            (Tc, True), rhs_nu[..., None])[..., 0]
+                        dx = SirS + jnp.einsum('bij,bj->bi', SiEt, dnu)
+                    else:
+                        dnu = jnp.zeros((B, 0), dtype)
+                        dx = SirS
+                    dz = jnp.einsum('bij,bj->bi', Hinv,
+                                    r3 - jnp.einsum('bij,bj->bi', G, dx))
+                    return dx, dnu, dz
+            else:
+                Sinv = newton_schulz_inverse(S, st.ns_iters)
+                if mz:
+                    SiEt = jnp.einsum('bij,bkj->bik', Sinv, E)
+                    T = jnp.einsum('bij,bjk->bik', E, SiEt)  # SPD (B,mz,mz)
+                    Tinv = newton_schulz_inverse(T, st.ns_iters)
+
+                def base_solve(r1, r2, r3):
+                    rS = r1 + jnp.einsum('bji,bj->bi', HiG, r3)
+                    if mz:
+                        SirS = jnp.einsum('bij,bj->bi', Sinv, rS)
+                        rhs_nu = r2 - jnp.einsum('bij,bj->bi', E, SirS)
+                        dnu = jnp.einsum('bij,bj->bi', Tinv, rhs_nu)
+                        dx = SirS + jnp.einsum('bij,bj->bi', SiEt, dnu)
+                    else:
+                        dnu = jnp.zeros((B, 0), dtype)
+                        dx = jnp.einsum('bij,bj->bi', Sinv, rS)
+                    dz = jnp.einsum('bij,bj->bi', Hinv,
+                                    r3 - jnp.einsum('bij,bj->bi', G, dx))
+                    return dx, dnu, dz
 
         def solve(r1, r2, r3):
             dx, dnu, dz = base_solve(r1, r2, r3)
