@@ -237,3 +237,23 @@ def test_exp_infeasible_status_honest():
     s = make_compiled_solver(fam, 'CLARABEL')
     s.solve_into_problem(prob)
     assert prob.status in ('infeasible', 'max_iter')
+
+
+def test_log_det_mixed_exp_psd():
+    """max log_det(X) s.t. trace(X) <= p -> X = (p/s) I, obj = s log(p/s).
+    The log_det lowering produces a MIXED exotic layout (exp triples +
+    two PSD blocks + a nonneg row) -- the strongest cross-block coverage
+    of the nonsymmetric IPM scalings."""
+    s_ = 3
+    X = ct.Variable((s_, s_), name='X', PSD=True)
+    p = ct.Parameter(name='p')
+    prob = ct.Problem(ct.Maximize(ct.log_det(X)), [ct.trace(X) <= p])
+    p.value = 6.0
+    fam = canonicalize(prob)
+    assert fam.n_exp and fam.psd_dims     # genuinely mixed
+    sol = make_compiled_solver(fam, 'CLARABEL',
+                               settings=IPMSettings(max_iter=100))
+    sol.solve_into_problem(prob)
+    ref = s_ * np.log(6.0 / s_)
+    assert prob.status == 'optimal'
+    assert abs(prob.value - ref) < 1e-6 * max(1, abs(ref))
