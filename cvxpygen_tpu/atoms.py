@@ -245,8 +245,10 @@ class QuadForm(Atom):
             raise ValueError('quad_form dimension mismatch')
         self.M = 0.5 * (M + M.T)
         ev = np.linalg.eigvalsh(self.M)
-        self.psd = bool(np.all(ev >= -1e-9 * max(1.0, abs(ev).max())))
-        self.nsd = bool(np.all(ev <= 1e-9 * max(1.0, abs(ev).max())))
+        # NB: plain `abs` is shadowed by the Abs atom in this module
+        ev_scale = max(1.0, float(np.abs(ev).max()))
+        self.psd = bool(np.all(ev >= -1e-9 * ev_scale))
+        self.nsd = bool(np.all(ev <= 1e-9 * ev_scale))
         if not (self.psd or self.nsd):
             raise ValueError('quad_form matrix must be PSD or NSD')
         super().__init__(x)

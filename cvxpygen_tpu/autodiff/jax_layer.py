@@ -36,7 +36,8 @@ class JaxLayer:
     """Differentiable problem-family layer: parameter arrays -> variable
     arrays (see module docstring)."""
 
-    def __init__(self, problem, parameters, variables, settings=None):
+    def __init__(self, problem, parameters, variables, settings=None,
+                 shared_PA=False):
         fam = canonicalize(problem)
         self._fam = fam
 
@@ -66,7 +67,9 @@ class JaxLayer:
             st = settings or ADMMSettings(eps_abs=tight, eps_rel=tight,
                                           max_iter=20000)
             from .qp_diff import make_diff_solve
-            solve = make_diff_solve(jf, st)
+            # shared_PA=True: batch shares canonical P/A (only vector
+            # params vary) -> shared-KKT fast path even under jit
+            solve = make_diff_solve(jf, st, shared_PA=shared_PA)
         self._solve_x = lambda theta: solve(theta)['x']
 
     # -- traced packing (differentiable) --------------------------------

@@ -27,15 +27,35 @@ ACT_EPS = 1e-7
 REG = 1e-6
 
 
-def make_diff_solve(jf: JaxFamily, settings: ADMMSettings = None):
+def make_diff_solve(jf: JaxFamily, settings: ADMMSettings = None,
+                    shared_PA=False):
     """Build a differentiable batched solve: theta (B,p) -> dict(x, y, obj).
 
     Forward = batched ADMM; backward = implicit KKT differentiation via
     jax.custom_vjp, so jax.grad/vjp work through the solve
-    (cvxpylayers-compatible; reference cpg_solver.py.jinja2:176-213)."""
+    (cvxpylayers-compatible; reference cpg_solver.py.jinja2:176-213).
+
+    ``shared_PA=True``: the caller asserts every batch row shares the
+    canonical P/A (only vector parameters vary); the forward pass then
+    runs the shared-KKT fast path (solvers/admm_shared.py) -- the way to
+    keep the ~6x path under jit, where 'auto' detection cannot inspect
+    the traced theta (see runtime/solver.use_shared_path)."""
     settings = settings or ADMMSettings()
 
     def fwd_raw(theta):
+        if shared_PA:
+            from ..runtime.jax_family import canon_batch_shared
+            from ..solvers.admm_shared import admm_solve_shared
+            data = canon_batch_shared(jf, theta)
+            l, u = qp_bounds_batch(jf, data['b'])
+            res = admm_solve_shared(data['P'], data['q'], data['A'], l, u,
+                                    jf.n_zero, settings)
+            B = theta.shape[0]
+            res.update(
+                P=jnp.broadcast_to(data['P'][None], (B,) + data['P'].shape),
+                A=jnp.broadcast_to(data['A'][None], (B,) + data['A'].shape),
+                q=data['q'], d=data['d'], l=l, u=u)
+            return res
         data = canon_batch(jf, theta)
         l, u = qp_bounds_batch(jf, data['b'])
         res = admm_solve(data['P'], data['q'], data['A'], l, u,

@@ -314,7 +314,8 @@ class ExoticScaling:
 
     def centering_rhs(self, z_exo):
         """-grad F*(z) stacked over exotic rows (B, dim); PSD blocks use
-        -svec(Z^{-1}) computed directly."""
+        +svec(Z^{-1}) (= -grad F*(z) for the -log det barrier) computed
+        directly."""
         exo = self.exo
         B = self.B
         parts = []

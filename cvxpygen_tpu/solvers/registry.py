@@ -48,6 +48,56 @@ EXPLICIT_SETTINGS: Dict[str, Setting] = {
     'dual': Setting('bool', False),
 }
 
+# settings gated behind enable_settings (reference: a Setting with
+# enabled=False is unusable until listed in generate_code's
+# enable_settings, _interface.py:125-130; the canonical example is
+# 'verbose', tests/test_E2E_QP.py:226-248)
+for _reg in (ADMM_SETTINGS, IPM_SETTINGS, CONIC_ADMM_SETTINGS,
+             EXPLICIT_SETTINGS):
+    _reg['verbose'] = Setting('bool', False, enabled=False)
+
+# per-engine translation of reference/CVXPY-style setting names to engine
+# settings (reference _interface.py:197-199 stgs_translation: each solver
+# interface maps CVXPY kwarg names onto its native names).  The reference
+# solver surfaces covered: OSQP (osqp.py:102-115), SCS (scs.py), ECOS
+# feastol/abstol/reltol/maxit, Clarabel tol_*/equilibrate_*/
+# iterative_refinement_* (clarabel.py:63-119).
+ADMM_ALIASES: Dict[str, str] = {
+    'warm_start': 'warm_starting',
+}
+CONIC_ADMM_ALIASES: Dict[str, str] = {
+    'warm_start': 'warm_starting',
+    'max_iters': 'max_iter',
+    'eps': 'eps_abs',
+}
+IPM_ALIASES: Dict[str, str] = {
+    # ECOS-style
+    'maxit': 'max_iter', 'feastol': 'tol_feas',
+    'abstol': 'tol_gap', 'reltol': 'tol_gap',
+    # Clarabel-style (clarabel.py:63-119)
+    'tol_gap_abs': 'tol_gap', 'tol_gap_rel': 'tol_gap',
+    'tol_infeas_abs': 'tol_infeas', 'tol_infeas_rel': 'tol_infeas',
+    'tol_feas_abs': 'tol_feas', 'tol_feas_rel': 'tol_feas',
+    'equilibrate_max_iter': 'scaling',
+    'iterative_refinement_max_iter': 'refine_steps',
+    'max_step_fraction': 'frac_to_boundary',
+    # QOCO-style
+    'abstol_inacc': 'tol_gap', 'reltol_inacc': 'tol_gap',
+}
+EXPLICIT_ALIASES: Dict[str, str] = {}
+
+_ENGINE_ALIASES = {
+    'ADMM': ADMM_ALIASES,
+    'CONIC_ADMM': CONIC_ADMM_ALIASES,
+    'IPM': IPM_ALIASES,
+    'EXPLICIT': EXPLICIT_ALIASES,
+}
+
+
+def engine_aliases(engine: str) -> Dict[str, str]:
+    """Reference-name -> engine-setting-name translation for one engine."""
+    return _ENGINE_ALIASES.get(engine, {})
+
 # reference solver name -> (engine, registry).  The reference's per-solver
 # interfaces (cvxpygen/solvers/{osqp,scs,ecos,clarabel,qoco,pdaqp}.py) each
 # wrapped a native solver; here every canonical form maps onto one of the
