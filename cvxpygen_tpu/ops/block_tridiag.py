@@ -103,6 +103,104 @@ def bt_matvec(D, L, x):
     return y
 
 
+def cr_factor(D, L):
+    """Block cyclic-reduction factorization of the block-tridiagonal SPD
+    system (D, L) -- the FLOP-optimal parallel alternative to the
+    associative-scan solve (bt_factor/bt_solve): each level halves the
+    block count, so total work is O(nb s^3) for the factor and
+    O(nb s^2) matvecs per solve, vs O(nb log nb s^3) matmuls per
+    associative-scan solve (measured 9x the FLOPs at nb ~ 271 -- the
+    round-2 banded-engine bottleneck, BENCH.md).
+
+    Level construction (0-based blocks; equation i is
+    L[i-1] x_{i-1} + D_i x_i + L[i]' x_{i+1} = b_i): eliminate ODD
+    blocks; for the kept even blocks j,
+        D'_j = D_j - L[j-1] Dinv_{j-1} L[j-1]' - L[j]' Dinv_{j+1} L[j]
+        L'_{j/2-1} (coupling j to j-2) = -L[j-1] Dinv_{j-1} L[j-2]
+        b'_j = b_j - A_j b_{j-1} - C_j b_{j+1},
+    with A_j = L[j-1] Dinv_{j-1}, C_j = L[j]' Dinv_{j+1}.  Blocks are
+    padded to an even count per level with identity D / zero L
+    (decoupled trivial equations).  Returns a list of per-level dicts.
+    """
+    levels = []
+    while D.shape[1] > 1:
+        B, nb, s, _ = D.shape
+        dtype = D.dtype
+        if nb % 2:
+            # pad one trailing identity block
+            eye = jnp.broadcast_to(jnp.eye(s, dtype=dtype), (B, 1, s, s))
+            D = jnp.concatenate([D, eye], axis=1)
+            L = jnp.concatenate([L, jnp.zeros((B, 1, s, s), dtype)], axis=1)
+            nb += 1
+        n2 = nb // 2
+        D_odd = D[:, 1::2]                          # (B, n2, s, s)
+        Dinv_odd = jnp.linalg.inv(D_odd)
+        # couplings of each odd block to its even neighbours: for even
+        # j = 2t the left odd neighbour is 2t-1 (L[2t-1] = L_left[t-1])
+        # and the right odd neighbour is 2t+1 (L[2t] = L[:, 0::2][t])
+        L_left = L[:, 1::2]                         # L[2t+1], couples 2t+2 to 2t+1
+        # A_t (for even block 2t, t>=1): L[2t-1] Dinv[2t-1]
+        A = jnp.einsum('bnij,bnjk->bnik', L_left, Dinv_odd[:, :L_left.shape[1]])
+        # C_t (for even block 2t, t<=n2-1): L[2t]' Dinv[2t+1]
+        C = jnp.einsum('bnji,bnjk->bnik', L[:, 0::2], Dinv_odd)
+        D_even = D[:, 0::2]
+        # D'_t = D_2t - A_t L[2t-1]' - C_t L[2t]
+        Dp = D_even
+        Dp = Dp.at[:, 1:].add(-jnp.einsum('bnij,bnkj->bnik', A, L_left))
+        Dp = Dp - jnp.einsum('bnij,bnjk->bnik', C, L[:, 0::2])
+        # L'_{t-1} couples 2t to 2t-2: -A_t L[2t-2] = -A_t L[:,0::2][t-1]
+        Lp = -jnp.einsum('bnij,bnjk->bnik', A, L[:, 0::2][:, :A.shape[1]])
+        # NB: no python ints in the returned pytree -- cr_factor output
+        # rides through lax.while_loop carries (adaptive-rho
+        # refactorization) where int leaves become tracers; block counts
+        # are derived from array shapes in cr_solve instead
+        levels.append(dict(Dinv_odd=Dinv_odd, A=A, C=C,
+                           L_left=L_left, L_even=L[:, 0::2]))
+        D, L = Dp, Lp
+    root_inv = jnp.linalg.inv(D[:, 0])
+    return dict(levels=levels, root_inv=root_inv)
+
+
+def cr_solve(fac, b):
+    """Solve M x = b given cr_factor output; b (B, nb, s)."""
+    levels = fac['levels']
+    dtype = b.dtype
+    nb0 = b.shape[1]
+    stack = []
+    for lv in levels:
+        B, nb_l, s = b.shape
+        if nb_l % 2:
+            b = jnp.concatenate([b, jnp.zeros((B, 1, s), dtype)], axis=1)
+        b_even = b[:, 0::2]
+        b_odd = b[:, 1::2]
+        bp = b_even
+        bp = bp.at[:, 1:].add(-jnp.einsum(
+            'bnij,bnj->bni', lv['A'], b_odd[:, :lv['A'].shape[1]]))
+        bp = bp - jnp.einsum('bnij,bnj->bni', lv['C'], b_odd)
+        stack.append(b_odd)
+        b = bp
+    x = jnp.einsum('bij,bj->bi', fac['root_inv'], b[:, 0])[:, None]
+    for lv, b_odd in zip(reversed(levels), reversed(stack)):
+        # back-substitute odd blocks between the solved even blocks:
+        # x_{2t+1} = Dinv[2t+1] (b_{2t+1} - L[2t] x_{2t} - L[2t+1]' x_{2t+2})
+        n2 = lv['Dinv_odd'].shape[1]
+        x = x[:, :n2]              # drop a deeper level's pad block
+        r = b_odd - jnp.einsum('bnij,bnj->bni', lv['L_even'], x)
+        n_odd = b_odd.shape[1]
+        # L[2t+1]' x_{2t+2}: only for odd blocks with a right even block
+        up = jnp.einsum('bnji,bnj->bni', lv['L_left'],
+                        x[:, 1:1 + lv['L_left'].shape[1]])
+        r = r.at[:, :up.shape[1]].add(-up)
+        x_odd = jnp.einsum('bnij,bnj->bni', lv['Dinv_odd'], r)
+        # interleave even/odd back to the level's block count
+        B, ne, s = x.shape
+        full = jnp.zeros((B, 2 * n2, s), dtype)
+        full = full.at[:, 0::2].set(x)
+        full = full.at[:, 1::2].set(x_odd)
+        x = full
+    return x[:, :nb0]
+
+
 def dense_to_bt(M, s):
     """Partition a dense (B, n, n) block-tridiagonal matrix into (D, L)
     with block size s (n divisible by s).  Off-band content is DROPPED --

@@ -79,3 +79,27 @@ def test_long_horizon_scaling_shape():
     x = bt_solve(fac, b)
     r = bt_matvec(D, L, x) - b
     assert float(jnp.max(jnp.abs(r))) < 1e-8
+
+
+def test_cyclic_reduction_matches_scan():
+    """cr_factor/cr_solve (FLOP-optimal banded solve) agrees with the
+    associative-scan path and with the true matvec residual, including
+    odd/padded block counts."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cvxpygen_tpu.ops.block_tridiag import (bt_factor, bt_matvec,
+                                                bt_solve, cr_factor,
+                                                cr_solve)
+    rng = np.random.default_rng(0)
+    for (B, nb, s) in ((3, 7, 4), (2, 12, 8), (1, 33, 4)):
+        D = rng.standard_normal((B, nb, s, s))
+        D = D @ np.swapaxes(D, 2, 3) + 4 * s * np.eye(s)
+        L = 0.3 * rng.standard_normal((B, nb - 1, s, s))
+        b = rng.standard_normal((B, nb, s))
+        Dj, Lj, bj = map(jnp.asarray, (D, L, b))
+        x_scan = bt_solve(bt_factor(Dj, Lj), bj)
+        x_cr = cr_solve(cr_factor(Dj, Lj), bj)
+        np.testing.assert_allclose(np.asarray(x_cr), np.asarray(x_scan),
+                                   atol=1e-10)
+        resid = bj - bt_matvec(Dj, Lj, x_cr)
+        assert float(jnp.max(jnp.abs(resid))) < 1e-10
