@@ -56,6 +56,8 @@ _HEADER = '''#ifndef CPG_CORE_H
 extern "C" {
 #endif
 void* cpg_native_init(int64_t n, int64_t m, int64_t p, int64_t n_eq);
+void cpg_native_set_cones(void* h, int64_t n_nonneg, int64_t n_soc,
+                          const int64_t* soc_dims);
 void cpg_native_set_map(void* h, int32_t which, int64_t n_rows,
                         const int64_t* indptr, const int64_t* indices,
                         const double* data);
@@ -120,10 +122,11 @@ clean:
 
 
 def write_c_artifact(code_dir, fam, theta_default=None):
-    """Emit the standalone C project for a QP-form family.  Returns the
-    c/ directory path, or None (with a reason) for conic families."""
-    if fam.soc_dims or getattr(fam, 'n_exp', 0) \
-            or getattr(fam, 'psd_dims', ()) \
+    """Emit the standalone C project for a QP-form or SOC-cone family
+    (the conic core mirrors the reference's embedded SCS C, which covers
+    exactly zero/nonneg/SOC -- reference scs.py:130-135,137-164).
+    Returns the c/ directory path, or None for exp/PSD/pow families."""
+    if getattr(fam, 'n_exp', 0) or getattr(fam, 'psd_dims', ()) \
             or getattr(fam, 'pow_alphas', ()):
         return None
     import scipy.sparse as spa
@@ -166,6 +169,12 @@ def write_c_artifact(code_dir, fam, theta_default=None):
             f'cpg_map_{name}_data);\n')
     if fam.d_quad is not None:
         parts.append('  cpg_native_set_dquad(h, cpg_dquad);\n')
+    if fam.soc_dims:
+        parts.append(
+            'static const int64_t cpg_soc_dims[] = {\n  '
+            + _fmt_i64(list(fam.soc_dims)) + '\n};\n'
+            f'  cpg_native_set_cones(h, {fam.n_nonneg}, '
+            f'{len(fam.soc_dims)}, cpg_soc_dims);\n')
     parts.append('  cpg_native_set_theta(h, cpg_theta_default);\n'
                  '  return h;\n}\n')
     with open(os.path.join(cdir, 'cpg_data.c'), 'w') as f:
@@ -174,4 +183,92 @@ def write_c_artifact(code_dir, fam, theta_default=None):
         f.write(_EXAMPLE)
     with open(os.path.join(cdir, 'Makefile'), 'w') as f:
         f.write(_MAKEFILE)
+    return cdir
+
+
+_EXPLICIT_MAIN = '''/* Standalone explicit-QP evaluator (reference pdaqp
+ * lookup-table C role, pdaqp.py:201-219): clip theta to the parameter
+ * box, find the region whose halfplane tests all hold (flat min-slack
+ * argmax over regions -- the table is the same one the TPU evaluator
+ * uses), apply the region's affine feedback.  Build: `make`. */
+#include <stdio.h>
+
+int main(void) {
+  double tt[CPG_PR + 1];
+  for (int j = 0; j < CPG_PR; ++j) {
+    double v = cpg_theta_default[cpg_th_sel[j]];
+    if (v < cpg_th_lb[j]) v = cpg_th_lb[j];
+    if (v > cpg_th_ub[j]) v = cpg_th_ub[j];
+    tt[j] = v;
+  }
+  tt[CPG_PR] = 1.0;
+  int best_r = 0;
+  double best_slack = -1e300;
+  for (int r = 0; r < CPG_R; ++r) {
+    double mslack = 1e300;
+    for (int t = 0; t < CPG_T; ++t) {
+      double acc = 0.0;
+      for (int j = 0; j <= CPG_PR; ++j)
+        acc += cpg_TEST[(r * CPG_T + t) * (CPG_PR + 1) + j] * tt[j];
+      if (acc < mslack) mslack = acc;
+    }
+    if (mslack > best_slack) { best_slack = mslack; best_r = r; }
+  }
+  printf("region = %d, slack = %.6g\\n", best_r, best_slack);
+  for (int i = 0; i < CPG_NSTORE; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j <= CPG_PR; ++j)
+      acc += cpg_FB[(best_r * CPG_NSTORE + i) * (CPG_PR + 1) + j] * tt[j];
+    printf("x[%d] = %.9g\\n", (int)cpg_store_idx[i], acc);
+  }
+  return 0;
+}
+'''
+
+_EXPLICIT_MAKEFILE = '''CC ?= cc
+CFLAGS ?= -O2
+cpg_example: cpg_explicit.c
+\t$(CC) $(CFLAGS) cpg_explicit.c -o $@
+clean:
+\trm -f cpg_example
+'''
+
+
+def write_c_artifact_explicit(code_dir, fam, data, theta_default=None):
+    """Emit the standalone C lookup-table evaluator for an explicit
+    family (reference pdaqp.h/c role): the region tests + feedbacks as C
+    arrays and a `main` doing clip -> region search -> affine feedback.
+    Returns the c/ directory path."""
+    cdir = os.path.join(code_dir, 'c')
+    os.makedirs(cdir, exist_ok=True)
+    R, t_max, pr1 = data.TEST.shape
+    n_store = data.FB.shape[1]
+    theta = (np.zeros(fam.p) if theta_default is None
+             else np.asarray(theta_default, dtype=float))
+    parts = [
+        '/* Explicit lookup table (reference pdaqp C role): region tests'
+        ' (padded rows\n * always satisfied) and per-region affine'
+        ' feedbacks, float literals from the\n * stored table. */\n',
+        f'#define CPG_R {R}\n#define CPG_T {t_max}\n'
+        f'#define CPG_PR {pr1 - 1}\n#define CPG_NSTORE {n_store}\n',
+        'static const double cpg_TEST[] = {\n  '
+        + _fmt_dbl(np.asarray(data.TEST, dtype=float).ravel()) + '\n};\n',
+        'static const double cpg_FB[] = {\n  '
+        + _fmt_dbl(np.asarray(data.FB, dtype=float).ravel()) + '\n};\n',
+        'static const int cpg_th_sel[] = {\n  '
+        + _fmt_i64(data.th_sel) + '\n};\n',
+        'static const double cpg_th_lb[] = {\n  '
+        + _fmt_dbl(np.asarray(data.th_lb, dtype=float)) + '\n};\n',
+        'static const double cpg_th_ub[] = {\n  '
+        + _fmt_dbl(np.asarray(data.th_ub, dtype=float)) + '\n};\n',
+        'static const int cpg_store_idx[] = {\n  '
+        + _fmt_i64(data.store_idx) + '\n};\n',
+        'static const double cpg_theta_default[] = {\n  '
+        + _fmt_dbl(theta) + '\n};\n',
+        _EXPLICIT_MAIN,
+    ]
+    with open(os.path.join(cdir, 'cpg_explicit.c'), 'w') as f:
+        f.write(''.join(parts))
+    with open(os.path.join(cdir, 'Makefile'), 'w') as f:
+        f.write(_EXPLICIT_MAKEFILE)
     return cdir

@@ -104,14 +104,21 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
     if os.path.exists(lic_src):
         shutil.copy(lic_src, os.path.join(code_dir, 'LICENSE'))
     # standalone C project (parity: reference cpg_example.c +
-    # CMakeLists, buildable without Python); QP-form families only
+    # CMakeLists, buildable without Python): ADMM core for QP/SOC
+    # families, lookup-table evaluator for explicit ones; only
+    # exp/PSD/pow families have no embedded artifact (mirroring the
+    # reference's embedded SCS cone coverage, scs.py:130-135)
     c_dir = None
-    if not explicit_level:
+    try:
+        theta0 = fam.pack_theta(params=problem.parameters())
+    except ValueError:
+        theta0 = None
+    if explicit_level:
+        from .codegen.emit_c import write_c_artifact_explicit
+        c_dir = write_c_artifact_explicit(code_dir, fam, rt.data,
+                                          theta_default=theta0)
+    else:
         from .codegen.emit_c import write_c_artifact
-        try:
-            theta0 = fam.pack_theta(params=problem.parameters())
-        except ValueError:
-            theta0 = None
         c_dir = write_c_artifact(code_dir, fam, theta_default=theta0)
     _write_readme(code_dir, problem, fam, cfg, c_dir=c_dir)
 

@@ -47,6 +47,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
             c_i64_p, c_i64_p, c_dbl_p]
         lib.cpg_native_set_dquad.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_set_cones.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, c_i64_p]
         lib.cpg_native_set_theta.argtypes = [ctypes.c_void_p, c_dbl_p]
         lib.cpg_native_update_theta.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_double]
@@ -73,7 +75,10 @@ def _as_i64(a):
 
 
 class NativeQPSolver:
-    """Host-side float64 solver for a compiled family (QP form only)."""
+    """Host-side float64 solver for a compiled family (QP form, or
+    SOC-cone conic form via the conic-ADMM z-update -- the reference's
+    embedded SCS C covers exactly zero/nonneg/SOC, scs.py:130-135;
+    exp/PSD/pow families are not embeddable here either)."""
 
     MAP_IDS = {'P': 0, 'q': 1, 'd': 2, 'A': 3, 'b': 4}
     SETTING_IDS = {'rho': 0, 'sigma': 1, 'alpha': 2, 'eps_abs': 3,
@@ -81,12 +86,20 @@ class NativeQPSolver:
                    'rho_eq_scale': 7}
 
     def __init__(self, family):
-        if family.soc_dims:
-            raise ValueError('native solver: QP-form families only')
+        if (getattr(family, 'n_exp', 0) or getattr(family, 'psd_dims', ())
+                or getattr(family, 'pow_alphas', ())):
+            raise ValueError('native solver: QP/SOC-form families only '
+                             '(exp/PSD/pow cones are not embeddable, '
+                             'mirroring reference scs.py:130-135)')
         self.family = family
         self.lib = get_lib()
         self.h = self.lib.cpg_native_init(family.n, family.m, family.p,
                                           family.n_zero)
+        if family.soc_dims:
+            socs = _as_i64(list(family.soc_dims))
+            self.lib.cpg_native_set_cones(
+                self.h, int(family.n_nonneg), len(family.soc_dims),
+                socs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         import scipy.sparse as spa
         from ..runtime.jax_family import _expand_rows
         n, m = family.n, family.m

@@ -10,7 +10,12 @@
 // Algorithm: OSQP-style ADMM (Ruiz equilibration, per-row rho with
 // equality scaling, dense LDL^T-free normal equations M = P + sigma I +
 // A' diag(rho) A factored by dense Cholesky, residual-based termination)
-// -- mirrors cvxpygen_tpu/solvers/admm.py.
+// -- mirrors cvxpygen_tpu/solvers/admm.py.  With cones set
+// (cpg_native_set_cones), the z-update projects SOC blocks onto the
+// shifted cone (conic ADMM, SCS role -- mirrors solvers/conic_admm.py;
+// the reference's embedded SCS C covers exactly zero/nonneg/SOC,
+// reference cvxpygen/solvers/scs.py:130-135) and the Ruiz row scales are
+// block-uniform on SOC rows (cone invariance).
 //
 // Canonicalization: theta-affine maps stored CSR; canonical tensors are
 // dense row-major.  API: cpg_native_init / set_theta / update_theta /
@@ -62,6 +67,10 @@ struct Workspace {
   double eps_abs = 1e-3, eps_rel = 1e-3;
   int32_t max_iter = 4000, check_interval = 25, scaling = 10;
   bool warm_start = false;
+  // cone layout (rows: n_eq zero | n_nonneg | SOC blocks); empty = box QP
+  int64_t n_nonneg = 0;
+  std::vector<int64_t> socs;
+  bool conic = false;
 };
 
 const double kInf = 1e30;
@@ -152,13 +161,28 @@ void solve(Workspace* w) {
       qs[j] *= dx;
       D[j] *= dx;
     }
+    std::vector<double> dcv(m);
     for (int64_t k = 0; k < m; ++k) {
       double nc = 0.0;
       for (int64_t j = 0; j < n; ++j) nc = std::max(nc, std::fabs(As[k * n + j]));
       double dc = nc > 1e-12 ? 1.0 / std::sqrt(nc) : 1.0;
-      dc = std::min(std::max(dc, 1e-4), 1e4);
-      for (int64_t j = 0; j < n; ++j) As[k * n + j] *= dc;
-      E[k] *= dc;
+      dcv[k] = std::min(std::max(dc, 1e-4), 1e4);
+    }
+    if (w->conic) {
+      // block-uniform row scale within each SOC block (cone invariance):
+      // geometric mean, mirroring solvers/conic_admm.py Ruiz
+      int64_t off = w->n_eq + w->n_nonneg;
+      for (int64_t d : w->socs) {
+        double lg = 0.0;
+        for (int64_t i = 0; i < d; ++i) lg += std::log(dcv[off + i]);
+        double g = std::exp(lg / (double)d);
+        for (int64_t i = 0; i < d; ++i) dcv[off + i] = g;
+        off += d;
+      }
+    }
+    for (int64_t k = 0; k < m; ++k) {
+      for (int64_t j = 0; j < n; ++j) As[k * n + j] *= dcv[k];
+      E[k] *= dcv[k];
     }
     double col = 0.0;
     for (int64_t j = 0; j < n; ++j) {
@@ -228,11 +252,41 @@ void solve(Workspace* w) {
     }
     for (int64_t j = 0; j < n; ++j)
       x[j] = w->alpha * xt[j] + (1.0 - w->alpha) * x[j];
-    for (int64_t k = 0; k < m; ++k) {
+    // box rows: zero rows (l = u) and nonneg rows (u = +inf); with a
+    // conic layout the SOC blocks follow with a real cone projection
+    const int64_t box_rows = w->conic ? (w->n_eq + w->n_nonneg) : m;
+    for (int64_t k = 0; k < box_rows; ++k) {
       double wk = w->alpha * zt[k] + (1.0 - w->alpha) * z[k] + y[k] / rho[k];
       double zk = std::min(std::max(wk, ls[k]), us[k]);
       y[k] = rho[k] * (wk - zk);
       z[k] = zk;
+    }
+    if (w->conic) {
+      // z_blk = proj_SOC(w_blk + bs_blk) - bs_blk  (scaled b: bs = E b)
+      int64_t off = box_rows;
+      for (int64_t d : w->socs) {
+        double t = 0.0, nr = 0.0;
+        for (int64_t i = 0; i < d; ++i) {
+          int64_t k = off + i;
+          wv[k] = w->alpha * zt[k] + (1.0 - w->alpha) * z[k] + y[k] / rho[k];
+          double v = wv[k] + E[k] * w->b[k];
+          if (i == 0) t = v; else nr += v * v;
+        }
+        nr = std::sqrt(nr);
+        double scale0, scale1;
+        if (nr <= t) { scale0 = 0.0; scale1 = 1.0; }       // inside: keep v
+        else if (nr <= -t) { scale0 = 0.0; scale1 = 0.0; } // polar: 0
+        else { scale0 = (t + nr) / 2.0; scale1 = scale0 / nr; }
+        for (int64_t i = 0; i < d; ++i) {
+          int64_t k = off + i;
+          double v = wv[k] + E[k] * w->b[k];
+          double pv = (nr <= t) ? v : (i == 0 ? scale0 : scale1 * v);
+          double zk = pv - E[k] * w->b[k];
+          y[k] = rho[k] * (wv[k] - zk);
+          z[k] = zk;
+        }
+        off += d;
+      }
     }
     if ((it + 1) % w->check_interval == 0) {
       double rp = 0.0, rp_den = 0.0, rd = 0.0, rd_den = 0.0;
@@ -313,6 +367,14 @@ void cpg_native_set_map(void* h, int32_t which, int64_t n_rows,
     case 4: mp = &w->mapb; break;
   }
   if (mp) load_csr(mp, n_rows, indptr, indices, data);
+}
+
+void cpg_native_set_cones(void* h, int64_t n_nonneg, int64_t n_soc,
+                          const int64_t* soc_dims) {
+  auto* w = static_cast<Workspace*>(h);
+  w->n_nonneg = n_nonneg;
+  w->socs.assign(soc_dims, soc_dims + n_soc);
+  w->conic = true;
 }
 
 void cpg_native_set_dquad(void* h, const double* dq) {

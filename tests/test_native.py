@@ -91,3 +91,97 @@ def test_standalone_c_artifact(tmp_path):
     obj_ref = res.obj + d
     assert abs(obj_c - obj_ref) < 1e-2 * max(1.0, abs(obj_ref)), \
         (obj_c, obj_ref)
+
+
+def test_native_socp_vs_oracle():
+    """SOC-cone family through the native conic-ADMM core (VERDICT r2
+    item 5: the reference embeds C for SCS's zero/nonneg/SOC cone list,
+    scs.py:130-135,137-164)."""
+    from cvxpygen_tpu.native import NativeQPSolver
+    make, assign = ALL['ADP']
+    prob = assign(make())
+    fam = canonicalize(prob)
+    assert fam.soc_dims
+    theta = fam.pack_theta(params=prob.parameters())
+
+    res, _ = solve_family_numpy(fam, theta)
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    if fam.d_quad is not None:
+        d += float(tt @ (fam.d_quad @ tt))
+    obj_ref = res.obj + d
+
+    ns = NativeQPSolver(fam)
+    ns.set_settings(eps_abs=1e-5, eps_rel=1e-5, max_iter=20000)
+    out = ns.solve(theta)
+    assert out['solved'], out
+    assert abs(out['obj'] - obj_ref) < 1e-2 * max(1.0, abs(obj_ref)), \
+        (out['obj'], obj_ref)
+
+
+def test_standalone_c_artifact_socp(tmp_path):
+    """`make && ./cpg_example` passes for an SOCP family (VERDICT r2
+    item 5 'Done' criterion)."""
+    import re
+    import subprocess
+    from cvxpygen_tpu import cpg
+
+    make_p, assign = ALL['ADP']
+    prob = assign(make_p())
+    code_dir = str(tmp_path / 'pkg_socp')
+    cpg.generate_code(prob, code_dir=code_dir, solver='SCS', wrapper=False)
+    cdir = tmp_path / 'pkg_socp' / 'c'
+    assert (cdir / 'cpg_example.c').exists()
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True).stdout
+    assert 'status = 1' in out, out
+    m = re.search(r'obj = ([-\d.e+]+)', out)
+    assert m, out
+    obj_c = float(m.group(1))
+
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+    res, _ = solve_family_numpy(fam, theta)
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    if fam.d_quad is not None:
+        d += float(tt @ (fam.d_quad @ tt))
+    obj_ref = res.obj + d
+    assert abs(obj_c - obj_ref) < 2e-2 * max(1.0, abs(obj_ref)), \
+        (obj_c, obj_ref)
+
+
+def test_standalone_c_artifact_explicit(tmp_path):
+    """`make && ./cpg_example` passes for an explicit family and matches
+    the python evaluator's region + feedback (VERDICT r2 item 5)."""
+    import re
+    import subprocess
+    import cvxpygen_tpu as ct
+    from cvxpygen_tpu import cpg
+
+    rng = np.random.default_rng(0)
+    n = 3
+    x = ct.Variable(n, name='x')
+    th = ct.Parameter(n, name='th')
+    H0 = rng.standard_normal((n, n))
+    H0 = H0 @ H0.T + n * np.eye(n)
+    prob = ct.Problem(
+        ct.Minimize(0.5 * ct.quad_form(x, ct.Constant(H0)) + th @ x),
+        [x >= -1.0, x <= 1.0,
+         ct.Constant(-np.ones(n)) <= th, th <= 1.0])
+    th.value = rng.uniform(-1, 1, n)
+    code_dir = str(tmp_path / 'pkg_exp')
+    mod = cpg.generate_code(prob, code_dir=code_dir, solver='explicit')
+    cdir = tmp_path / 'pkg_exp' / 'c'
+    assert (cdir / 'cpg_explicit.c').exists()
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True).stdout
+    xs = [float(v) for v in re.findall(r'x\[\d+\] = ([-\d.e+]+)', out)]
+    assert len(xs) == n, out
+
+    # python evaluator on the same theta
+    prob.solve(method='CPG')
+    x_py = prob.var_dict['x'].value
+    np.testing.assert_allclose(np.asarray(xs), x_py, atol=1e-4)
