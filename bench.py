@@ -115,8 +115,10 @@ def main():
     solves_per_s = B * reps / dt
     print(f'# timed {reps} reps in {dt:.3f}s', file=sys.stderr, flush=True)
 
-    # objective parity vs float64 oracle on distinct instances
-    n_check = 8
+    # objective parity vs float64 oracle on >= 128 distinct instances
+    # (VERDICT r2 weak #4: 8 samples could miss a bad tail instance);
+    # the headline number is only honest if max_rel stays under 1e-2
+    n_check = min(int(os.environ.get('BENCH_PARITY_N', '128')), B)
     obj_np = np.asarray(obj[:n_check], dtype=np.float64)
     max_rel = 0.0
     for i in range(n_check):
@@ -124,6 +126,10 @@ def main():
         tt = np.concatenate([theta[i], [1.0]])
         ref = res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0])
         max_rel = max(max_rel, abs(obj_np[i] - ref) / max(1.0, abs(ref)))
+    if max_rel > 1e-2:
+        print(f'# PARITY FAILURE: max_rel {max_rel:.3e} > 1e-2 over '
+              f'{n_check} oracle-checked instances', file=sys.stderr,
+              flush=True)
 
     result = {
         'metric': 'mpc_qp_solves_per_s_per_chip',
@@ -136,6 +142,7 @@ def main():
         'mean_iters': float(np.mean(np.asarray(iters))),
         'frac_solved': float(np.mean(np.asarray(solved))),
         'max_obj_rel_err_vs_oracle': round(max_rel, 6),
+        'parity_instances_checked': n_check,
         'backend': jax.default_backend(),
     }
 
@@ -187,6 +194,11 @@ def main():
             result.update(_bench_exp_entropy(jax, jnp, dtype))
         except Exception as e:
             print(f'# entropy bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr, flush=True)
+        try:
+            result.update(_bench_portfolio_varying_P(jax, jnp, dtype))
+        except Exception as e:
+            print(f'# portfolio bench failed: {type(e).__name__}: {e}',
                   file=sys.stderr, flush=True)
 
     print(json.dumps(result))
@@ -295,6 +307,68 @@ def _bench_exp_entropy(jax, jnp, dtype):
         'entropy_frac_solved': float(np.mean(np.asarray(out['solved']))),
         'entropy_mean_iters': float(np.mean(np.asarray(out['iters']))),
         'entropy_parity_analytic': parity,
+    }
+
+
+def _bench_portfolio_varying_P(jax, jnp, dtype):
+    """Portfolio factor-model QP (reference tests/test_E2E_QP.py:76-110)
+    with PER-INSTANCE factor loadings F -- canonical P/A vary across the
+    batch, so this exercises the per-instance (general) path, the
+    configuration the shared-KKT fast path cannot cover (VERDICT r2
+    item 4: the general-path device number)."""
+    import numpy as np
+    from problems import portfolio_problem, assign_portfolio
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.runtime.solver import CompiledQPSolver
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+    from cvxpygen_tpu.solvers.oracle import solve_family_numpy
+
+    n_assets, m_factors = 20, 5
+    prob = portfolio_problem(n=n_assets, m=m_factors)
+    assign_portfolio(prob, seed=0, n=n_assets, m=m_factors)
+    fam = canonicalize(prob)
+    B = int(os.environ.get('BENCH_PORTFOLIO_BATCH', '512'))
+    rng = np.random.default_rng(7)
+    base = fam.pack_theta(params=prob.parameters())
+    Fi = [pi for pi in fam.param_info if pi.name == 'F'][0]
+    ai = [pi for pi in fam.param_info if pi.name == 'a'][0]
+    theta = np.tile(base, (B, 1))
+    theta[:, Fi.offset:Fi.offset + Fi.flat_size] = np.round(
+        rng.standard_normal((B, Fi.flat_size)))
+    theta[:, ai.offset:ai.offset + ai.flat_size] = rng.standard_normal(
+        (B, ai.flat_size))
+    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000,
+                      check_interval=15, adaptive_rho=True,
+                      use_pallas='full')
+    solver = CompiledQPSolver(fam, settings=st, dtype=dtype)
+    assert not solver._use_shared(theta, 'auto')  # honest general path
+    t0 = time.perf_counter()
+    out = solver.solve_batch(theta, shared_PA=False)
+    _materialize(out['obj'])
+    print(f'# portfolio compile+first: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr, flush=True)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solver.solve_batch(theta, shared_PA=False)
+        _materialize(out['obj'])
+    dt = time.perf_counter() - t0
+    # parity on a handful of instances vs the float64 oracle
+    obj = np.asarray(out['obj'] + out['d'], dtype=np.float64)
+    max_rel = 0.0
+    for i in range(16):
+        res, _ = solve_family_numpy(fam, theta[i])
+        tt = np.concatenate([theta[i], [1.0]])
+        ref = res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0])
+        # (theta-quadratic d offset omitted on BOTH sides: solver obj and
+        # oracle obj here are the canonical objective + affine d)
+        max_rel = max(max_rel, abs(obj[i] - ref) / max(1.0, abs(ref)))
+    return {
+        'portfolio_varP_solves_per_s': round(B * reps / dt, 1),
+        'portfolio_varP_batch': B,
+        'portfolio_varP_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'portfolio_varP_mean_iters': float(np.mean(np.asarray(out['iters']))),
+        'portfolio_varP_parity': round(max_rel, 6),
     }
 
 
