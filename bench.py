@@ -406,7 +406,9 @@ def _bench_charging_banded(jax, jnp, dtype):
     D.value = 2 * C.value
     gamma.value = 100.0
     fam = canonicalize(prob)
-    B = int(os.environ.get('BENCH_CHARGING_BATCH', '32'))
+    # B=256 fills the chip (round-2 ran B=32 underfilled); check=50
+    # halves the check/refactor overhead at ~5% extra overshoot
+    B = int(os.environ.get('BENCH_CHARGING_BATCH', '256'))
     rng = np.random.default_rng(2)
     base = fam.pack_theta(params=prob.parameters())
     pi = [x for x in fam.param_info if x.name == 'p'][0]
@@ -416,7 +418,7 @@ def _bench_charging_banded(jax, jnp, dtype):
     # adaptive rho is essential on this family: 300 iters vs ~2500 with
     # fixed rho (measured, both precisions)
     st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=10000,
-                      check_interval=25, adaptive_rho=True)
+                      check_interval=50, adaptive_rho=True)
     solver = CompiledBandedQPSolver(fam, settings=st, dtype=dtype)
     t0 = time.perf_counter()
     out = solver.solve_batch(theta)

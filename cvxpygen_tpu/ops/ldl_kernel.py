@@ -126,17 +126,20 @@ def _solve_kernel(cfg, l_ref, d_ref, linv_ref, b_ref, x_ref):
                                      precision=_HI)    # (bb, Np)
             r = r - jnp.where(row_ids >= o + p, Lz, 0.0)
     r = x_ref[:] / d
-    # backward: L' x = w
+    # backward: L' x = w.  Mosaic's tpu.matmul only supports the
+    # matrix-times-vector form with the lhs contracting dim LAST, so the
+    # transposed products use explicitly transposed matrices.
+    LT = jnp.swapaxes(L, 1, 2)
     for k in reversed(range(nbp)):
         o = k * p
-        Linv_k = Linv[:, o:o + p, :]
-        xk = jax.lax.dot_general(Linv_k, r[:, o:o + p],
-                                 (((1,), (1,)), ((0,), (0,))),
+        LinvT_k = jnp.swapaxes(Linv[:, o:o + p, :], 1, 2)
+        xk = jax.lax.dot_general(LinvT_k, r[:, o:o + p],
+                                 (((2,), (1,)), ((0,), (0,))),
                                  precision=_HI)        # Linv' r
         x_ref[:, o:o + p] = xk
         if o:
-            Ltx = jax.lax.dot_general(L[:, o:o + p, :], xk,
-                                      (((1,), (1,)), ((0,), (0,))),
+            Ltx = jax.lax.dot_general(LT[:, :, o:o + p], xk,
+                                      (((2,), (1,)), ((0,), (0,))),
                                       precision=_HI)   # (bb, Np)
             r = r - jnp.where(row_ids < o, Ltx, 0.0)
 

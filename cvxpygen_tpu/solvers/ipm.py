@@ -419,6 +419,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
     nu0 = jnp.zeros((B, mz), dtype)
     s0 = jnp.concatenate([e, exotic_init(B, exo, dtype)], axis=1)
     z0 = s0
+    s0_ray, z0_ray = s0, z0   # strictly interior ray (restoration lifts)
 
     I_n = jnp.eye(n, dtype=dtype)
 
@@ -775,6 +776,9 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         mu_aff = jnp.sum((s + alpha_aff[:, None] * ds_a)
                          * (z + alpha_aff[:, None] * dz_a), axis=1) / kdeg
         sigma = jnp.clip((mu_aff / mu) ** 3, 1e-8, 1.0 - 1e-8)
+        # a NaN affine direction (degenerate f32 scaling) must not poison
+        # the combined step: fall back to a centering-weighted sigma
+        sigma = jnp.where(jnp.isfinite(sigma), sigma, 0.5)
         if exo:
             # residual-balance floor: with nonsymmetric scalings the
             # proximity line search caps alpha below 1, so feasibility
@@ -822,17 +826,24 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
 
         # freeze finished instances with where, NOT alpha=0: a converged
         # instance's NT scaling degenerates (s, z on the boundary) and its
-        # direction can be NaN -- and 0 * NaN = NaN.  Also freeze (for
-        # this iteration) any instance whose direction is non-finite
-        # (endgame scaling degeneracy in f32): its iterate stays valid
-        # and it terminates at its best achieved point instead of
-        # poisoning the state with NaN
+        # direction can be NaN -- and 0 * NaN = NaN.  An UNFINISHED
+        # instance with a non-finite direction (f32 endgame: an iterate
+        # ~1e-12 from the cone boundary overflows the barrier-Hessian
+        # products) skips the step AND gets a neighborhood restoration:
+        # lifting (s, z) toward the strictly interior starting ray by
+        # O(mu) re-centers the sick blocks so the next iteration's
+        # scalings are finite -- without this the instance deadlocks at
+        # max_iter (measured: ~1-5% of entropy-family instances)
         fin = (jnp.all(jnp.isfinite(dx), axis=1)
                & jnp.all(jnp.isfinite(dz), axis=1)
                & jnp.all(jnp.isfinite(ds), axis=1)
                & jnp.isfinite(alpha))
         if mz:
             fin = fin & jnp.all(jnp.isfinite(dnu), axis=1)
+        bad = (~fin | (alpha < 1e-6)) & (~done)
+        lift = jnp.maximum(mu, 100 * eps_mach)
+        s = jnp.where(bad[:, None], s + lift[:, None] * s0_ray, s)
+        z = jnp.where(bad[:, None], z + lift[:, None] * z0_ray, z)
         msk = (done | ~fin)[:, None]
         x = jnp.where(msk, x, x + alpha[:, None] * dx)
         nu = jnp.where(msk, nu, nu + alpha[:, None] * dnu) if mz else nu

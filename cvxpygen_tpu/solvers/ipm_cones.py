@@ -154,6 +154,40 @@ def _pow_grad_hess(z3, a):
     return g, h
 
 
+def _sanitize_blocks(H, g, s3, z3, mu_floor=None):
+    """Replace non-finite 3x3 scaling blocks / gradients with a finite
+    SPD fallback.
+
+    f32 failure mode (measured on the entropy family, ~1.5% of
+    instances): a step accepted with the dual iterate ~1e-12 from the
+    cone boundary makes the barrier Hessian entries ~1/t^2 ~ 1e24 and
+    the two-secant products overflow -> NaN; sigma and every subsequent
+    direction go NaN and the instance freezes at max_iter (VERDICT r3
+    straggler).  Fallback: H = (s'z/3) I (the scaling of a centered
+    block) and -grad F*(z) ~ 3 s / s'z, giving a finite centering-flavored
+    direction that re-enters the neighborhood within a few iterations."""
+    # sick = non-finite OR so large that downstream squares overflow /
+    # carry no precision (f32: entries ~1e24 from a 1e-12-deep boundary
+    # iterate stay finite here but NaN inside the KKT factorization)
+    big = jnp.asarray(float(jnp.finfo(H.dtype).eps) ** -1.5, H.dtype)
+    bad = ~(jnp.all(jnp.isfinite(H), axis=(1, 2))
+            & jnp.all(jnp.isfinite(g), axis=1)
+            & (jnp.max(jnp.abs(H), axis=(1, 2)) < big)
+            & (jnp.max(jnp.abs(g), axis=1) < big))
+    # floor the fallback scale with the INSTANCE mu: a sick block that is
+    # itself nearly complementarity-converged (s'z ~ 0) would otherwise
+    # get H ~ 0 and make the KKT near-singular (measured: finite
+    # directions with 1e23 solve residual -> alpha 0 deadlock)
+    mu_b = jnp.sum(s3 * z3, axis=1) / 3.0
+    if mu_floor is not None:
+        mu_b = jnp.maximum(mu_b, 0.01 * mu_floor)
+    mu_b = jnp.clip(mu_b, 100 * float(jnp.finfo(H.dtype).eps) ** 2, None)
+    eye3 = jnp.eye(3, dtype=H.dtype)
+    H = jnp.where(bad[:, None, None], mu_b[:, None, None] * eye3[None], H)
+    g = jnp.where(bad[:, None], -s3 / mu_b[:, None], g)
+    return H, g
+
+
 def _pd_scaling_full(s3, z3, g, h, zt):
     """Primal-dual (two-secant BFGS) scaling for a 3-dim nonsymmetric
     cone block (Dahl & Andersen 2021; the MOSEK/Clarabel exp-cone
@@ -280,13 +314,15 @@ class ExoticScaling:
             sf = s_exo[:, :3 * ne].reshape(B * ne, 3)
             g = _exp_grad(zf)
             h = _exp_hess(zf)
-            self.g_exp = g.reshape(B, ne, 3)
             if strategy == 'pd':
                 zt = -_exp_pgrad(sf)
                 Hf = _pd_scaling_full(sf, zf, g, h, zt)
             else:
                 mu_r = jnp.repeat(mu, ne)
                 Hf = mu_r[:, None, None] * h
+            mu_rep = jnp.repeat(mu, ne)
+            Hf, g = _sanitize_blocks(Hf, g, sf, zf, mu_floor=mu_rep)
+            self.g_exp = g.reshape(B, ne, 3)
             self.H_exp = Hf.reshape(B, ne, 3, 3)
         self.W_psd = []       # NT point per PSD block (B, s, s)
         off = exo.psd_off
@@ -303,13 +339,15 @@ class ExoticScaling:
             z3 = z_exo[:, off:off + 3]
             s3 = s_exo[:, off:off + 3]
             g, h = _pow_grad_hess(z3, a)
-            self.g_pow.append(g)
             if strategy == 'pd':
                 zt = -jax.vmap(
                     jax.grad(lambda s, aa=a: _pow_primal_barrier(s, aa)))(s3)
-                self.H_pow.append(_pd_scaling_full(s3, z3, g, h, zt))
+                Hp = _pd_scaling_full(s3, z3, g, h, zt)
             else:
-                self.H_pow.append(mu[:, None, None] * h)
+                Hp = mu[:, None, None] * h
+            Hp, g = _sanitize_blocks(Hp, g, s3, z3, mu_floor=mu)
+            self.g_pow.append(g)
+            self.H_pow.append(Hp)
             off += 3
 
     def centering_rhs(self, z_exo):
@@ -560,7 +598,12 @@ def exotic_proximity(exo: ExoticCones, s_exo, z_exo, mu):
         r = s3 + mu[:, None] * g
         hinv_r = jnp.einsum('bij,bj->bi', _inv33(h), r)
         q = jnp.maximum(jnp.sum(r * hinv_r, axis=1), 0.0)
-        return jnp.sqrt(q) / mu
+        eta = jnp.sqrt(q) / mu
+        # overflowed barrier Hessians (f32, boundary-hugging iterate)
+        # yield NaN; report a large-but-finite eta so the backtracking
+        # still accepts candidates that REDUCE proximity (NaN would
+        # reject everything and deadlock the instance)
+        return jnp.where(jnp.isfinite(eta), eta, 1e6)
 
     if exo.n_exp:
         ne = exo.n_exp
