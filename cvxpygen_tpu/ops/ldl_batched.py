@@ -129,6 +129,57 @@ def ldl_factor(K, panel: int = 16, signs=None, dyn_delta=None):
                 Np=Np)
 
 
+def ldl_inverse(fac):
+    """Explicit inverse of the (regularized) factored matrix: solve
+    K' X = I with the panel sweeps applied to ALL columns at once -- the
+    per-panel ops become real (B, ., p) x (B, p, N) GEMMs (MXU work)
+    instead of matvecs, so on TPU ONE inverse build per factorization +
+    one einsum per solve replaces ~40 launch-bound sweep ops per solve.
+
+    Accuracy note: applying Kinv has relative error ~ eps * cond(K'),
+    and cond(K') is CAPPED by the dynamic pivot regularization
+    (~1/dyn_delta), so the caller's iterative refinement against the
+    true K contracts exactly as it does with the sweep solve."""
+    L, d, Linv = fac['L'], fac['d'], fac['Linv']
+    p, N, Np = fac['panel'], fac['N'], fac['Np']
+    B = L.shape[0]
+    dtype = L.dtype
+    nbp = Np // p
+
+    def linv_k(k):
+        # XLA factor stores Linv (B, nbp, p, p); the Pallas factor flat
+        # (B, nbp*p, p)
+        if Linv.ndim == 4:
+            return Linv[:, k]
+        return Linv[:, k * p:(k + 1) * p, :]
+
+    # forward: L Z = I  (columns of Z computed panel-by-panel)
+    R = jnp.broadcast_to(jnp.eye(Np, dtype=dtype), (B, Np, Np))
+    zs = []
+    for k in range(nbp):
+        o = k * p
+        Zk = jnp.einsum('bij,bjc->bic', linv_k(k), R[:, o:o + p, :])
+        zs.append(Zk)
+        if o + p < Np:
+            R = R.at[:, o + p:, :].add(
+                -jnp.einsum('bij,bjc->bic', L[:, o + p:, o:o + p], Zk))
+    Z = jnp.concatenate(zs, axis=1)
+    W = Z / jnp.where(jnp.abs(d) < jnp.finfo(dtype).tiny,
+                      jnp.finfo(dtype).tiny, d)[:, :, None]
+    # backward: L' X = W
+    R = W
+    xs = [None] * nbp
+    for k in reversed(range(nbp)):
+        o = k * p
+        Xk = jnp.einsum('bji,bjc->bic', linv_k(k), R[:, o:o + p, :])
+        xs[k] = Xk
+        if o:
+            R = R.at[:, :o, :].add(
+                -jnp.einsum('bij,bic->bjc', L[:, o:o + p, :o], Xk))
+    X = jnp.concatenate(xs, axis=1)
+    return X[:, :N, :N]
+
+
 def ldl_solve(fac, b):
     """Solve K x = b given ldl_factor output; b (B, N) -> x (B, N)."""
     L, d, Linv = fac['L'], fac['d'], fac['Linv']

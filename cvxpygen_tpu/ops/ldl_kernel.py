@@ -128,8 +128,7 @@ def _solve_kernel(cfg, l_ref, d_ref, linv_ref, b_ref, x_ref):
     r = x_ref[:] / d
     # backward: L' x = w.  Mosaic's tpu.matmul only supports the
     # matrix-times-vector form with the lhs contracting dim LAST, so the
-    # transposed products use explicitly transposed matrices.
-    LT = jnp.swapaxes(L, 1, 2)
+    # transposed products use per-panel explicitly transposed matrices.
     for k in reversed(range(nbp)):
         o = k * p
         LinvT_k = jnp.swapaxes(Linv[:, o:o + p, :], 1, 2)
@@ -138,7 +137,8 @@ def _solve_kernel(cfg, l_ref, d_ref, linv_ref, b_ref, x_ref):
                                  precision=_HI)        # Linv' r
         x_ref[:, o:o + p] = xk
         if o:
-            Ltx = jax.lax.dot_general(LT[:, :, o:o + p], xk,
+            LT_k = jnp.swapaxes(L[:, o:o + p, :], 1, 2)   # (bb, Np, p)
+            Ltx = jax.lax.dot_general(LT_k, xk,
                                       (((2,), (1,)), ((0,), (0,))),
                                       precision=_HI)   # (bb, Np)
             r = r - jnp.where(row_ids < o, Ltx, 0.0)

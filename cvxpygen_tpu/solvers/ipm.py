@@ -79,6 +79,12 @@ class IPMSettings:
     # 'ldl' KKT mode: dynamic pivot-regularization floor (0 = dtype auto,
     # ~0.1 sqrt(eps); see ops/ldl_batched.py)
     ldl_dyn_delta: float = 0.0
+    # 'ldl' mode: apply the explicit inverse of the regularized K (one
+    # multi-RHS sweep per factorization, then einsum per solve) instead
+    # of panel-sweep solves -- the TPU-fast choice (sweeps are
+    # launch-bound); accuracy is equivalent because cond(K') is capped
+    # by the dynamic regularization and refinement targets the true K
+    ldl_inverse: bool = True
 
     @classmethod
     def for_dtype(cls, dtype, **overrides):
@@ -593,23 +599,30 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             K = K.at[:, n + mz:, :n].set(-G)
             K = K.at[:, n + mz:, n + mz:].set(-H)
             import numpy as _np
+            from ..ops.ldl_batched import ldl_inverse
             signs = _np.concatenate([_np.ones(n), -_np.ones(mz + mc)])
-            use_pallas_ldl = (jax.default_backend() == 'tpu')
-            if use_pallas_ldl:
-                # fused one-kernel factor + one-kernel solve
-                # (ops/ldl_kernel.py): the XLA lowering is launch-bound
-                from ..ops.ldl_kernel import (ldl_factor_pallas,
-                                              ldl_solve_pallas)
+            if jax.default_backend() == 'tpu':
+                # fused one-kernel factorization (ops/ldl_kernel.py): the
+                # XLA lowering is launch-bound on TPU
+                from ..ops.ldl_kernel import ldl_factor_pallas
                 dd = st.ldl_dyn_delta or \
                     float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
-                fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd)
-
-                def _ldl_solve(rhs):
-                    return ldl_solve_pallas(fac, rhs)
+                fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd,
+                                        block_b=min(256, B))
             else:
                 fac = ldl_factor(K, signs=signs,
                                  dyn_delta=st.ldl_dyn_delta or None)
+            if st.ldl_inverse:
+                # one multi-RHS sweep builds the explicit inverse of the
+                # REGULARIZED K (MXU GEMMs); each subsequent solve is a
+                # single einsum.  cond(K') is capped by the dynamic pivot
+                # regularization, so inverse-apply error stays within
+                # what the refinement against the true K absorbs.
+                Kinv = ldl_inverse(fac)
 
+                def _ldl_solve(rhs):
+                    return jnp.einsum('bij,bj->bi', Kinv, rhs)
+            else:
                 def _ldl_solve(rhs):
                     return ldl_solve(fac, rhs)
 

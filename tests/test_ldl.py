@@ -76,3 +76,18 @@ def test_ldl_pallas_matches_xla_interpret():
     x_p = np.asarray(ldl_solve_pallas(fac_p, bj, block_b=4,
                                       interpret=True))
     np.testing.assert_allclose(x_p, x_x, rtol=1e-3, atol=1e-4)
+
+
+def test_ldl_inverse_matches_solve():
+    """ldl_inverse (explicit inverse of the regularized K via multi-RHS
+    sweeps, the TPU solve path) applied to a rhs matches ldl_solve."""
+    from cvxpygen_tpu.ops.ldl_batched import ldl_inverse
+    rng = np.random.default_rng(3)
+    B, N, nblk = 3, 37, 17
+    K, signs = _quasidefinite(B, N, nblk, rng)
+    b = rng.standard_normal((B, N))
+    fac = ldl_factor(jnp.asarray(K), signs=signs)
+    x1 = np.asarray(ldl_solve(fac, jnp.asarray(b)))
+    Kinv = ldl_inverse(fac)
+    x2 = np.einsum('bij,bj->bi', np.asarray(Kinv), b)
+    np.testing.assert_allclose(x2, x1, rtol=1e-8, atol=1e-9)
