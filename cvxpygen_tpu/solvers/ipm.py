@@ -601,14 +601,20 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             import numpy as _np
             from ..ops.ldl_batched import ldl_inverse
             signs = _np.concatenate([_np.ones(n), -_np.ones(mz + mc)])
-            if jax.default_backend() == 'tpu':
+            import os as _os
+            if (jax.default_backend() == 'tpu'
+                    and _os.environ.get('CPG_LDL_PALLAS', '1') != '0'):
                 # fused one-kernel factorization (ops/ldl_kernel.py): the
                 # XLA lowering is launch-bound on TPU
                 from ..ops.ldl_kernel import ldl_factor_pallas
                 dd = st.ldl_dyn_delta or \
                     float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
+                # block_b capped at 32: Mosaic hangs compiling this
+                # kernel with larger VMEM blocks (measured: bb=64/128/256
+                # never finish; bb=32 compiles in ~20 s and factors
+                # (1024, 176, 176) in 34 ms)
                 fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd,
-                                        block_b=min(256, B))
+                                        block_b=min(32, B))
             else:
                 fac = ldl_factor(K, signs=signs,
                                  dyn_delta=st.ldl_dyn_delta or None)
