@@ -36,6 +36,37 @@ def _materialize(x):
     return float(jnp.sum(x))
 
 
+_FAILED_FAMILIES = []
+
+
+def _parity_max_rel(obj, refs):
+    """NaN-proof relative-error max: a non-finite solver objective counts
+    as a FAILURE (returns inf), never as zero error.  Round 3's
+    ``max(0.0, nan) == 0.0`` printed perfect parity on a 100%-NaN batch
+    (VERDICT r3 weak #1)."""
+    import math
+    max_rel, n_bad = 0.0, 0
+    for o, r in zip(obj, refs):
+        o, r = float(o), float(r)
+        if not math.isfinite(o):
+            n_bad += 1
+            continue
+        max_rel = max(max_rel, abs(o - r) / max(1.0, abs(r)))
+    return (float('inf') if n_bad else max_rel), n_bad
+
+
+def _gate_family(name, frac_solved, parity=None, parity_bar=1e-2):
+    """Loudly record any family whose solve or parity failed; the verdict
+    lands in the JSON line as `failed_families`."""
+    bad = frac_solved < 1.0 or (
+        parity is not None and not (parity <= parity_bar))
+    if bad:
+        _FAILED_FAMILIES.append(name)
+        print(f'# FAILED family={name}: frac_solved={frac_solved:.4f} '
+              f'parity={parity}', file=sys.stderr, flush=True)
+    return bad
+
+
 def main():
     import jax
     # persistent compile cache: remote AOT compiles on the axon relay take
@@ -47,6 +78,19 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+
+    # device correctness gate BEFORE any timed number: every family x
+    # engine at small B must solve 100% (VERDICT r3 item 2; the round-3
+    # portfolio TPU failure existed only on the device backend and the
+    # CPU suite could not catch it)
+    smoke_ok, smoke_failures = True, []
+    if os.environ.get('BENCH_SMOKE', '1') != '0':
+        from smoke_device import run_smoke
+        t0 = time.perf_counter()
+        smoke_ok, smoke_failures = run_smoke()
+        print(f'# device smoke: {"PASS" if smoke_ok else "FAIL"} '
+              f'({time.perf_counter() - t0:.0f}s)', file=sys.stderr,
+              flush=True)
 
     from problems import MPC_problem, assign_MPC
     from cvxpygen_tpu.canon.canonicalizer import canonicalize
@@ -120,16 +164,18 @@ def main():
     # the headline number is only honest if max_rel stays under 1e-2
     n_check = min(int(os.environ.get('BENCH_PARITY_N', '128')), B)
     obj_np = np.asarray(obj[:n_check], dtype=np.float64)
-    max_rel = 0.0
+    refs = []
     for i in range(n_check):
         res, _ = solve_family_numpy(fam, theta[i])
         tt = np.concatenate([theta[i], [1.0]])
-        ref = res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0])
-        max_rel = max(max_rel, abs(obj_np[i] - ref) / max(1.0, abs(ref)))
+        refs.append(res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0]))
+    max_rel, n_nan = _parity_max_rel(obj_np, refs)
     if max_rel > 1e-2:
         print(f'# PARITY FAILURE: max_rel {max_rel:.3e} > 1e-2 over '
-              f'{n_check} oracle-checked instances', file=sys.stderr,
-              flush=True)
+              f'{n_check} oracle-checked instances ({n_nan} non-finite)',
+              file=sys.stderr, flush=True)
+    frac_solved = float(np.mean(np.asarray(solved)))
+    _gate_family('mpc_' + mode.replace('-', '_'), frac_solved, max_rel)
 
     result = {
         'metric': 'mpc_qp_solves_per_s_per_chip',
@@ -140,10 +186,12 @@ def main():
         'distinct_instances': B,
         'path': mode,
         'mean_iters': float(np.mean(np.asarray(iters))),
-        'frac_solved': float(np.mean(np.asarray(solved))),
+        'frac_solved': frac_solved,
         'max_obj_rel_err_vs_oracle': round(max_rel, 6),
         'parity_instances_checked': n_check,
         'backend': jax.default_backend(),
+        'smoke_ok': smoke_ok,
+        'smoke_failures': smoke_failures,
     }
 
     if os.environ.get('BENCH_SOL', '1') != '0':
@@ -200,8 +248,68 @@ def main():
         except Exception as e:
             print(f'# portfolio bench failed: {type(e).__name__}: {e}',
                   file=sys.stderr, flush=True)
+        if mode == 'shared':
+            # the general (per-instance) MPC row: same 2048 distinct
+            # instances forced down the varying-P/A machinery -- the
+            # round-2/3 missing BENCH_SHARED=0 number (VERDICT r3 item 1)
+            try:
+                result.update(_bench_mpc_general(jax, jnp, dtype, fam,
+                                                 theta))
+            except Exception as e:
+                print(f'# mpc-general bench failed: {type(e).__name__}: '
+                      f'{e}', file=sys.stderr, flush=True)
 
+    result['failed_families'] = list(_FAILED_FAMILIES)
+    if _FAILED_FAMILIES or not smoke_ok:
+        print(f'# BENCH GATE: FAILURES {sorted(set(_FAILED_FAMILIES + smoke_failures))}',
+              file=sys.stderr, flush=True)
     print(json.dumps(result))
+
+
+def _bench_mpc_general(jax, jnp, dtype, fam, theta):
+    """General-path MPC: the SAME 2048 distinct x_init instances as the
+    headline bench, solved WITHOUT the shared-KKT assumption (per-instance
+    Ruiz + Newton-Schulz factorization + full-solve Pallas kernel).  This
+    is what a caller gets when canonical P/A genuinely vary per instance
+    at MPC scale; the gap to the shared path is the per-instance
+    factorization cost (see BENCH.md)."""
+    import numpy as np
+    from cvxpygen_tpu.runtime.solver import CompiledQPSolver
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+    from cvxpygen_tpu.solvers.oracle import solve_family_numpy
+
+    B = theta.shape[0]
+    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=2000,
+                      check_interval=15, adaptive_rho=True,
+                      scaling=3, use_pallas='full')
+    solver = CompiledQPSolver(fam, settings=st, dtype=dtype)
+    t0 = time.perf_counter()
+    out = solver.solve_batch(theta, shared_PA=False)
+    _materialize(out['obj'])
+    print(f'# mpc-general compile+first: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr, flush=True)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solver.solve_batch(theta, shared_PA=False)
+        _materialize(out['obj'])
+    dt = time.perf_counter() - t0
+    obj = np.asarray(out['obj'] + out['d'], dtype=np.float64)
+    refs = []
+    for i in range(16):
+        res, _ = solve_family_numpy(fam, theta[i])
+        tt = np.concatenate([theta[i], [1.0]])
+        refs.append(res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0]))
+    max_rel, _ = _parity_max_rel(obj[:16], refs)
+    frac = float(np.mean(np.asarray(out['solved'])))
+    _gate_family('mpc_general', frac, max_rel)
+    return {
+        'mpc_general_solves_per_s': round(B * reps / dt, 1),
+        'mpc_general_batch': B,
+        'mpc_general_frac_solved': frac,
+        'mpc_general_mean_iters': float(np.mean(np.asarray(out['iters']))),
+        'mpc_general_parity': round(max_rel, 6),
+    }
 
 
 def _bench_socp_adp(jax, jnp, dtype):
@@ -240,10 +348,12 @@ def _bench_socp_adp(jax, jnp, dtype):
         out = solver.solve_batch(theta)
         _materialize(out['obj'])
     dt = time.perf_counter() - t0
+    frac = float(np.mean(np.asarray(out['solved'])))
+    _gate_family('socp_adp', frac)
     return {
         'socp_adp_solves_per_s': round(B * reps / dt, 1),
         'socp_adp_batch': B,
-        'socp_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'socp_frac_solved': frac,
         'socp_mean_iters': float(np.mean(np.asarray(out['iters']))),
     }
 
@@ -297,14 +407,15 @@ def _bench_exp_entropy(jax, jnp, dtype):
     obj = -(np.asarray(out['obj']) + np.asarray(out['d']))  # Maximize sign
     ref = np.log(np.sum(np.exp(cs), axis=1))                # logsumexp
     sv = np.asarray(out['status']) == 1
-    parity = float(np.max(np.abs(obj[sv] - ref[sv])
-                          / np.maximum(1.0, np.abs(ref[sv])))) \
-        if sv.any() else float('nan')
+    parity, _ = _parity_max_rel(obj[sv], ref[sv]) if sv.any() \
+        else (float('inf'), 0)
+    frac = float(np.mean(np.asarray(out['solved'])))
+    _gate_family('entropy_exp', frac, parity)
     return {
         'entropy_solves_per_s': round(B * reps / elapsed, 1),
         'entropy_batch': B,
         'entropy_n': n,
-        'entropy_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'entropy_frac_solved': frac,
         'entropy_mean_iters': float(np.mean(np.asarray(out['iters']))),
         'entropy_parity_analytic': parity,
     }
@@ -353,20 +464,24 @@ def _bench_portfolio_varying_P(jax, jnp, dtype):
         out = solver.solve_batch(theta, shared_PA=False)
         _materialize(out['obj'])
     dt = time.perf_counter() - t0
-    # parity on a handful of instances vs the float64 oracle
+    # parity vs the float64 oracle -- NaN-PROOF: a non-finite solver
+    # objective makes parity inf, never 0 (the round-3 bench printed
+    # parity 0.0 on a 100%-NaN batch, VERDICT r3 weak #1)
     obj = np.asarray(out['obj'] + out['d'], dtype=np.float64)
-    max_rel = 0.0
+    refs = []
     for i in range(16):
         res, _ = solve_family_numpy(fam, theta[i])
         tt = np.concatenate([theta[i], [1.0]])
-        ref = res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0])
         # (theta-quadratic d offset omitted on BOTH sides: solver obj and
         # oracle obj here are the canonical objective + affine d)
-        max_rel = max(max_rel, abs(obj[i] - ref) / max(1.0, abs(ref)))
+        refs.append(res.obj + float(np.asarray(fam.d_map @ tt).ravel()[0]))
+    max_rel, _ = _parity_max_rel(obj[:16], refs)
+    frac = float(np.mean(np.asarray(out['solved'])))
+    _gate_family('portfolio_varP', frac, max_rel)
     return {
         'portfolio_varP_solves_per_s': round(B * reps / dt, 1),
         'portfolio_varP_batch': B,
-        'portfolio_varP_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'portfolio_varP_frac_solved': frac,
         'portfolio_varP_mean_iters': float(np.mean(np.asarray(out['iters']))),
         'portfolio_varP_parity': round(max_rel, 6),
     }
@@ -431,11 +546,13 @@ def _bench_charging_banded(jax, jnp, dtype):
         out = solver.solve_batch(theta)
         _materialize(out['obj'])
     dt = time.perf_counter() - t0
+    frac = float(np.mean(np.asarray(out['solved'])))
+    _gate_family('charging_banded', frac)
     return {
         'charging_T': T,
         'charging_solves_per_s': round(B * reps / dt, 1),
         'charging_batch': B,
-        'charging_frac_solved': float(np.mean(np.asarray(out['solved']))),
+        'charging_frac_solved': frac,
         'charging_mean_iters': float(np.mean(np.asarray(out['iters']))),
     }
 

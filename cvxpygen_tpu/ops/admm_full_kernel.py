@@ -105,7 +105,7 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
             return carry
         jax.lax.fori_loop(0, iters, body, 0, unroll=False)
 
-    def factor_cold(M):
+    def diag_start(M):
         # X0 = diag(M)^{-1}, rescaled so eig(M X0) in (0,1] (monotone NS
         # from any SPD start; see solvers/admm.py newton_schulz_warm)
         dg = jnp.sum(M * eye[None], axis=1)             # (BLK, n)
@@ -114,10 +114,53 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
         ninf = jnp.max(jnp.sum(jnp.abs(MD), axis=2), axis=1,
                        keepdims=True)                   # (BLK, 1)
         scale = dg_inv / jnp.maximum(ninf, 1.0)
-        minv_ref[:] = eye[None] * scale[:, None, :]
+        return eye[None] * scale[:, None, :]
+
+    def ns_rescue(M):
+        # NS divergence guard (mirrors solvers/admm.py _ns_rescue): bf16-
+        # pass bulk sweeps can leave the NS basin above cond(M) ~ 1e4
+        # (observed: portfolio varying-P overflowed every instance to NaN
+        # on TPU).  Check the per-instance residual certificate
+        # ||I - M X||_inf; where it fails (incl. NaN), reset to the
+        # guaranteed-monotone diagonal start and redo the sweep at full
+        # f32 precision.  Good instances sit at the NS fixed point, so the
+        # extra full-precision sweep only polishes them.
+        X = minv_ref[:]
+        errs = []
+        for b in range(blk):
+            MX = jax.lax.dot_general(
+                M[b], X[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            # per-instance scalar certificate, (1, 1)-shaped: avoids a
+            # (BLK, n, n) residual temporary that would blow scoped VMEM
+            errs.append(jnp.max(jnp.abs(eye - MX), axis=(0, 1),
+                                keepdims=True))
+        err = jnp.concatenate(errs, axis=0)             # (BLK, 1)
+        bad = jnp.logical_not(err < 0.5)
+
+        @pl.when(jnp.any(bad))
+        def _():
+            # reset ONLY the bad instances to the diagonal start, one
+            # (n, n) temporary at a time (a batched blend would need
+            # ~3 extra (BLK, n, n) temporaries -> scoped-VMEM OOM)
+            for b in range(blk):
+                dgb = jnp.sum(M[b] * eye, axis=0)
+                dgi = 1.0 / jnp.maximum(dgb, 1e-12)
+                ninfb = jnp.max(jnp.sum(jnp.abs(M[b] * dgi[None, :]),
+                                        axis=1))
+                X0b = eye * (dgi / jnp.maximum(ninfb, 1.0))[None, :]
+                # scalar predicate from the f32 certificate (Mosaic cannot
+                # squeeze a bool vector element to a scalar)
+                minv_ref[b] = jnp.where(err[b, 0] < 0.5, minv_ref[b], X0b)
+            ns_sweep(M, max(ns_iters, 30), jax.lax.Precision.HIGHEST)
+
+    def factor_cold(M):
+        minv_ref[:] = diag_start(M)
         if ns_iters > ns_f32_iters:
             ns_sweep(M, ns_iters - ns_f32_iters, jax.lax.Precision.DEFAULT)
             ns_sweep(M, ns_f32_iters, jax.lax.Precision.HIGHEST)
+            ns_rescue(M)
         else:
             ns_sweep(M, ns_iters, jax.lax.Precision.HIGHEST)
 
@@ -135,6 +178,7 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
         ninf = jnp.max(jnp.sum(jnp.abs(MX), axis=2), axis=1, keepdims=True)
         minv_ref[:] = X / jnp.maximum(ninf, 1.0)[:, :, None]
         ns_sweep(M, ns_adapt_iters, jax.lax.Precision.HIGHEST)
+        ns_rescue(M)
 
     factor_cold(form_M(rho0))
 
@@ -283,23 +327,27 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
 
 
 # v5e/v5p VMEM is far larger than the 16MB default scoped limit; the
-# kernel requests this much and sizes blocks to ~70% of it (measured
-# overhead vs the analytic estimate is ~1.7x: Mosaic's NS/M temporaries
-# and double-buffered IO)
+# kernel requests 100MB and sizes blocks to fit it.  The Mosaic stack
+# overhead vs the analytic estimate was measured at ~3.7x with the NS
+# divergence-rescue branch in place (102.7MB actual vs 28MB raw estimate
+# on the portfolio family at blk=32), and the actual allocation GROWS
+# with the requested limit (more aggressive pipelining), so block sizing
+# must be conservative rather than the limit generous.
 _VMEM_LIMIT = 100 * 1024 * 1024
+_BLOCK_BUDGET = 70 * 1024 * 1024
 
 
 def pick_full_block(B, m, n, dtype=jnp.float32):
     """Largest batch block (multiple of 8) whose resident set fits the
-    requested VMEM: pipelined P/A inputs (x2), the M^{-1} scratch, M and
-    broadcast temporaries, with the measured 1.7x Mosaic overhead."""
+    block budget: pipelined P/A inputs (x2), the M^{-1} scratch, M and
+    broadcast temporaries, with the measured ~3.7x Mosaic overhead."""
     esize = jnp.dtype(dtype).itemsize
     for blk in (32, 16, 8, 4):
         # pipelined P/A/At inputs (x2), M^{-1} + resident-M scratches,
         # and broadcast temporaries
         est = blk * (2 * (n * n + 2 * m * n) + 3 * n * n + 2 * m * n) * esize
-        est = int(est * 1.7)
-        if B % blk == 0 and est <= int(_VMEM_LIMIT * 0.7):
+        est = int(est * 3.7)
+        if B % blk == 0 and est <= _BLOCK_BUDGET:
             return blk
     return None
 

@@ -118,8 +118,17 @@ def use_shared_path(pa_mask, theta, shared_PA):
         return False
     if not pa_mask.any():
         return True
-    theta = np.asarray(theta) if isinstance(theta, (np.ndarray, list)) \
-        else None
+    if isinstance(theta, (np.ndarray, list)):
+        theta = np.asarray(theta)
+    else:
+        # an EAGER (non-traced) jax device array is concrete and can be
+        # inspected -- only tracers must fall through to the warning path
+        # (ADVICE r3: eager jnp callers with shared_PA='auto' otherwise
+        # silently lose the ~6x shared path)
+        try:
+            theta = np.asarray(theta)
+        except Exception:
+            theta = None
     if theta is None:
         # traced/device theta cannot be inspected: fall back to the
         # per-instance path -- but SAY so, because the shared path is ~6x

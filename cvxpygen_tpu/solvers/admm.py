@@ -113,6 +113,53 @@ def ruiz_equilibrate(P, q, A, l, u, iters):
     return P, q, A, l, u, c, D, E
 
 
+def _ns_diag_start(M):
+    """Diagonal-preconditioner NS start X0 = diag(M)^{-1} rescaled so
+    eig(M X0) in (0, 1] -- monotone NS from any SPD M."""
+    n = M.shape[-1]
+    dg = jnp.diagonal(M, axis1=1, axis2=2)
+    dg_inv = 1.0 / jnp.maximum(dg, 1e-12)
+    ninf = jnp.max(jnp.sum(jnp.abs(M * dg_inv[:, None, :]), axis=2), axis=1)
+    scale = dg_inv / jnp.maximum(ninf, 1.0)[:, None]
+    return jnp.eye(n, dtype=M.dtype)[None] * scale[:, None, :]
+
+
+def ns_residual_err(M, X):
+    """Per-instance ||I - M X||_inf (entrywise), full precision: the NS
+    convergence certificate.  NaN iterates compare as 'not < threshold',
+    so err-based guards catch divergence AND overflow."""
+    n = M.shape[-1]
+    MX = jnp.einsum('bij,bjk->bik', M, X,
+                    precision=jax.lax.Precision.HIGHEST)
+    R = jnp.eye(n, dtype=M.dtype)[None] - MX
+    return jnp.max(jnp.abs(R), axis=(1, 2))
+
+
+def _ns_rescue(M, X, iters):
+    """Divergence rescue: NS with bf16-pass bulk iterations can leave the
+    convergence basin on ill-conditioned instances (rounding noise x
+    cond(M) > 1 -- observed on the portfolio varying-P family on TPU,
+    where every instance overflowed to NaN while full-f32 NS converges to
+    ~1e-4 on the same chip).  Detect per instance via the residual
+    certificate and recompute ONLY-IF-NEEDED (lax.cond) with a fully
+    f32-HIGHEST NS from the guaranteed-monotone diagonal start."""
+    bad = ~(ns_residual_err(M, X) < 0.5)
+
+    def rescue(X):
+        I2 = 2.0 * jnp.eye(M.shape[-1], dtype=M.dtype)
+
+        def body(_, Xr):
+            MX = jnp.einsum('bij,bjk->bik', M, Xr,
+                            precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum('bij,bjk->bik', Xr, I2 - MX,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        Xr = jax.lax.fori_loop(0, iters, body, _ns_diag_start(M))
+        return jnp.where(bad[:, None, None], Xr, X)
+
+    return jax.lax.cond(jnp.any(bad), rescue, lambda X: X, X)
+
+
 def newton_schulz_inverse(M, iters, f32_iters=5):
     """Batched SPD inverse by Newton-Schulz: X <- X(2I - MX).
 
@@ -128,14 +175,15 @@ def newton_schulz_inverse(M, iters, f32_iters=5):
     NS is self-correcting (each step contracts toward M^-1 from the current
     X), so the bulk iterations run in fast single-pass bf16 matmuls and only
     the last `f32_iters` run at full f32 precision: the bf16 phase lands X
-    within ~1e-2 of M^-1, two quadratic f32 steps take it to roundoff."""
+    within ~1e-2 of M^-1, two quadratic f32 steps take it to roundoff.
+    The bf16 phase is NOT unconditionally safe -- above cond(M) ~ 1e4 its
+    rounding noise can leave the NS basin entirely -- so the fast path ends
+    with a residual-certificate check and a full-f32 rescue for the
+    diverged instances (_ns_rescue); the guard made `kkt_solver='auto'`
+    correct on the portfolio varying-P family (VERDICT r3 item 1)."""
     B, n, _ = M.shape
     dtype = M.dtype
-    dg = jnp.diagonal(M, axis1=1, axis2=2)
-    dg_inv = 1.0 / jnp.maximum(dg, 1e-12)
-    ninf = jnp.max(jnp.sum(jnp.abs(M * dg_inv[:, None, :]), axis=2), axis=1)
-    scale = dg_inv / jnp.maximum(ninf, 1.0)[:, None]
-    X = jnp.eye(n, dtype=dtype)[None] * scale[:, None, :]
+    X = _ns_diag_start(M)
     I2 = 2.0 * jnp.eye(n, dtype=dtype)
     fast = (jax.default_backend() == 'tpu' and dtype == jnp.float32)
 
@@ -145,11 +193,8 @@ def newton_schulz_inverse(M, iters, f32_iters=5):
 
     if fast and iters > f32_iters:
         # bulk phase with single-pass bf16 matmuls but f32 STORAGE and
-        # accumulation (Precision.DEFAULT): bf16 storage of the iterate was
-        # measured to kick ill-conditioned instances out of the NS basin
-        # (rounding noise x cond(M) > 1), while bf16 multiply passes with
-        # f32 iterates stay inside it; the f32-highest tail then contracts
-        # the ~1e-3 plateau to roundoff quadratically
+        # accumulation (Precision.DEFAULT); the f32-highest tail then
+        # contracts the ~1e-3 plateau toward roundoff quadratically
         def body_fast(_, X):
             MX = jnp.einsum('bij,bjk->bik', M, X,
                             precision=jax.lax.Precision.DEFAULT)
@@ -157,7 +202,8 @@ def newton_schulz_inverse(M, iters, f32_iters=5):
                               precision=jax.lax.Precision.DEFAULT)
 
         X = jax.lax.fori_loop(0, iters - f32_iters, body_fast, X)
-        return jax.lax.fori_loop(0, f32_iters, body, X)
+        X = jax.lax.fori_loop(0, f32_iters, body, X)
+        return _ns_rescue(M, X, max(iters, 30))
     return jax.lax.fori_loop(0, iters, body, X)
 
 
@@ -188,7 +234,11 @@ def newton_schulz_warm(M, X0, iters):
     # phase) cannot contract below their ~4e-3 noise floor and instead
     # INJECT noise that can leave the NS basin on ill-conditioned
     # instances -- measured as a batch-wide convergence collapse.
-    return jax.lax.fori_loop(0, iters, body, X0)
+    X = jax.lax.fori_loop(0, iters, body, X0)
+    # spectral rescale + full precision make this monotone for SPD inputs,
+    # but a stale/contaminated X0 (e.g. carrying non-finite entries) still
+    # needs the certificate guard -- same rescue as the cold start
+    return _ns_rescue(M, X, max(iters, 30))
 
 
 def _pick_block(B, m, n, dtype):
@@ -256,6 +306,15 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
         return (Ps + st.sigma * jnp.eye(n, dtype=dtype)
                 + jnp.einsum('bki,bk,bkj->bij', As, rho_vec, As))
 
+    if st.kkt_solver not in ('auto', 'ns', 'inv', 'chol'):
+        raise ValueError(
+            f"ADMMSettings.kkt_solver={st.kkt_solver!r}: expected one of "
+            "'auto', 'ns', 'inv', 'chol'")
+    if st.use_pallas not in ('auto', 'always', 'never', 'full',
+                             'full_interpret'):
+        raise ValueError(
+            f"ADMMSettings.use_pallas={st.use_pallas!r}: expected one of "
+            "'auto', 'always', 'never', 'full', 'full_interpret'")
     kkt_mode = st.kkt_solver
     if kkt_mode == 'auto':
         kkt_mode = 'ns' if jax.default_backend() not in ('cpu',) else 'inv'

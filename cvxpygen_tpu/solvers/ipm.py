@@ -85,6 +85,16 @@ class IPMSettings:
     # launch-bound); accuracy is equivalent because cond(K') is capped
     # by the dynamic regularization and refinement targets the true K
     ldl_inverse: bool = True
+    # HSDE infeasibility post-pass iteration budget (exotic P=0 layouts
+    # only; solvers/ipm_hsde.py).  LATENCY NOTE: the pass runs under
+    # lax.cond whenever ANY instance is still status 0 at max_iter --
+    # including feasible-but-slow ones -- so a batch with one straggler
+    # pays `hsde_iters` extra full-KKT iterations on the whole batch.
+    # 50 is enough for the Farkas ray to dominate (kappa > 10 tau) on
+    # every tested infeasible family; it deliberately does NOT scale
+    # with max_iter (ADVICE r3: max(40, max_iter) doubled worst-case
+    # latency).  0 disables the pass.
+    hsde_iters: int = 50
 
     @classmethod
     def for_dtype(cls, dtype, **overrides):
@@ -602,6 +612,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             from ..ops.ldl_batched import ldl_inverse
             signs = _np.concatenate([_np.ones(n), -_np.ones(mz + mc)])
             import os as _os
+            fac_is_pallas = False
             if (jax.default_backend() == 'tpu'
                     and _os.environ.get('CPG_LDL_PALLAS', '1') != '0'):
                 # fused one-kernel factorization (ops/ldl_kernel.py): the
@@ -615,6 +626,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                 # (1024, 176, 176) in 34 ms)
                 fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd,
                                         block_b=min(32, B))
+                fac_is_pallas = True
             else:
                 fac = ldl_factor(K, signs=signs,
                                  dyn_delta=st.ldl_dyn_delta or None)
@@ -628,6 +640,14 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
 
                 def _ldl_solve(rhs):
                     return jnp.einsum('bij,bj->bi', Kinv, rhs)
+            elif fac_is_pallas:
+                # Pallas facs store Linv FLAT (B, nbp*p, p); ldl_solve
+                # expects the (B, nbp, p, p) layout -- route to the
+                # matching one-kernel solve (ADVICE r3 medium)
+                from ..ops.ldl_kernel import ldl_solve_pallas
+
+                def _ldl_solve(rhs):
+                    return ldl_solve_pallas(fac, rhs)
             else:
                 def _ldl_solve(rhs):
                     return ldl_solve(fac, rhs)
@@ -928,7 +948,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         cond, body, state0)
     it_vec = jnp.where(status != 0, it_vec, it)
 
-    if exo and P_is_zero:
+    if exo and P_is_zero and st.hsde_iters > 0:
         # HSDE post-pass (solvers/ipm_hsde.py): instances still
         # undetermined after max_iter get classified through the
         # homogeneous embedding -- its final iterate is a Farkas ray for
@@ -943,7 +963,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         def classify(status_in):
             xh, nuh, zh, sh, tau, kap = hsde_run(
                 q, E, f, G, h, l_nonneg, socs, exo,
-                iters=max(40, st.max_iter),
+                iters=st.hsde_iters,
                 exotic_beta=st.exotic_beta, exotic_shrink=st.exotic_shrink,
                 exotic_backtracks=st.exotic_backtracks,
                 static_reg=max(st.static_reg, 1e-8),

@@ -162,7 +162,11 @@ def hsde_run(q, E, f, G, h, l_nonneg, socs, exo, iters=60,
         tau_s = jnp.maximum(tau, jnp.asarray(
             float(jnp.finfo(dtype).tiny) ** 0.5, dtype))
         denom = kappa / tau_s - c2
-        denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        # sign-preserving clamp: mapping a small-NEGATIVE denom to +1e-12
+        # would flip the sign of dtau and step tau/kappa the wrong way
+        # for an iteration (ADVICE r3)
+        denom = jnp.where(jnp.abs(denom) > 1e-12, denom,
+                          jnp.where(denom < 0, -1e-12, 1e-12))
         dtau = (-r_tau - c1 + tk_rhs / tau_s) / denom
         dx = dx1 - dtau[:, None] * dx2
         dnu = dnu1 - dtau[:, None] * dnu2 if mz else dnu1
