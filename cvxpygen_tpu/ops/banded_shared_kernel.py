@@ -1,0 +1,386 @@
+"""Pallas TPU kernel: fused block-banded shared-KKT ADMM chunk.
+
+The round-3 banded engine (solvers/admm_banded.py) ran each ADMM
+iteration as ~60 XLA ops (sparse gather/segment matvecs + the cyclic-
+reduction tree), each streaming (B, nnz)-sized tensors through HBM --
+measured ~90 us apiece against ~0.15 ms of real per-iteration compute
+(BENCH.md round-3 speed-of-light analysis).  This kernel runs
+``check_interval`` iterations per launch with EVERYTHING VMEM-resident:
+
+- A in the grouped block-window layout (ops/banded_grouped.py): every
+  matvec is a fixed sequence of broadcast-FMA ops over
+  (nb, r_max, chunk) / (nb, s, chunk) tensors -- block index on the
+  leading (untiled) dim, instances on the 128 lanes;
+- the KKT solve is block cyclic reduction with SHARED factors (packed
+  into one (NB_TOT, s, s) tensor): even/odd splits are free leading-dim
+  reshapes, each level a handful of FMAs;
+- P and M ride as shared block-tridiagonal (D, L) tensors for the
+  residual and refinement matvecs;
+- residuals + OSQP infeasibility certificates computed in-kernel.
+
+The driver (solvers/admm_banded_shared.py) owns the outer while_loop,
+batch-shared adaptive rho, and CR refactorization (cheap XLA at B=1).
+
+Shared-path preconditions (P/A batch-invariant) mirror the reference's
+no-refactorize update cases (reference cvxpygen/solvers/osqp.py:20-61);
+the per-instance banded engine remains the fallback.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 1e30
+
+
+def cr_level_shapes(nb):
+    """Static per-level shapes of cr_factor for nb starting blocks:
+    list of dicts(nb_in, nb_pad, n2) ending when one block remains."""
+    out = []
+    while nb > 1:
+        nbp = nb + (nb % 2)
+        n2 = nbp // 2
+        out.append(dict(nb_in=nb, nb_pad=nbp, n2=n2))
+        nb = n2
+    return out
+
+
+def estimate_nb_tot(nb):
+    """Total (s, s) blocks in the packed CR factor (pack_cr_levels
+    layout): per level Dinv(n2) + A(n2-1) + C(n2) + L_left(n2-1) +
+    L_even(n2), plus the root."""
+    tot = 1
+    for shp in cr_level_shapes(nb):
+        n2 = shp['n2']
+        tot += 5 * n2 - 2
+    return tot
+
+
+def _mv(M3, v3):
+    """Batched block matvec: M3 (n, s, s) x v3 (n, s, chunk) ->
+    (n, s, chunk); fixed FMA loop over the contraction index (the
+    batched-small-matmul shape Mosaic cannot route to the MXU)."""
+    s = M3.shape[1]
+    acc = M3[:, :, 0][:, :, None] * v3[:, 0][:, None, :]
+    for j in range(1, s):
+        acc = acc + M3[:, :, j][:, :, None] * v3[:, j][:, None, :]
+    return acc
+
+
+def _mvT(M3, v3):
+    """Transposed block matvec: out = M3' v3 per block."""
+    s = M3.shape[1]
+    acc = M3[:, 0, :][:, :, None] * v3[:, 0][:, None, :]
+    for j in range(1, s):
+        acc = acc + M3[:, j, :][:, :, None] * v3[:, j][:, None, :]
+    return acc
+
+
+def _cr_solve_inkernel(fac, meta, levels, b, s, chunk):
+    """Cyclic-reduction solve on (nb, s, chunk) values with shared packed
+    factors; mirrors ops/block_tridiag.cr_solve."""
+    dtype = b.dtype
+    nb0 = b.shape[0]
+    stack = []
+    for lvm, shp in zip(meta['levels'], levels):
+        if shp['nb_pad'] != shp['nb_in']:
+            b = jnp.concatenate(
+                [b, jnp.zeros((1, s, chunk), dtype)], axis=0)
+        n2 = shp['n2']
+        b4 = b.reshape(n2, 2, s, chunk)
+        b_even = b4[:, 0]
+        b_odd = b4[:, 1]
+        oA, nA = lvm['A']
+        oC, nC = lvm['C']
+        # nA == 0 at the deepest levels (n2 == 1): Mosaic rejects
+        # zero-size vectors, so guard statically
+        if nA:
+            A = fac[oA:oA + nA]
+            bp_tail = b_even[1:] - _mv(A, b_odd[:nA])
+            bp = jnp.concatenate([b_even[:1], bp_tail], axis=0)
+        else:
+            bp = b_even
+        C = fac[oC:oC + nC]
+        bp = bp - _mv(C, b_odd)
+        stack.append(b_odd)
+        b = bp
+    oR = meta['root']
+    x = _mv(fac[oR:oR + 1], b)
+    for lvm, shp, b_odd in zip(reversed(meta['levels']), reversed(levels),
+                               reversed(stack)):
+        n2 = shp['n2']
+        x = x[:n2]
+        oD, nD = lvm['Dinv_odd']
+        oLe, nLe = lvm['L_even']
+        oLl, nLl = lvm['L_left']
+        r = b_odd - _mv(fac[oLe:oLe + nLe], x)
+        if nLl:
+            up = _mvT(fac[oLl:oLl + nLl], x[1:1 + nLl])
+            r = jnp.concatenate([r[:nLl] - up, r[nLl:]], axis=0)
+        x_odd = _mv(fac[oD:oD + nD], r)
+        x = jnp.stack([x, x_odd], axis=1).reshape(2 * n2, s, chunk)
+    return x[:nb0]
+
+
+def _banded_shared_kernel(cfg, meta, levels,
+                          fac_ref, b0_ref, b1_ref, dp_ref, lp_ref,
+                          dm_ref, lm_ref, dsc_ref, einv_ref, esc_ref,
+                          rho_ref, scal_ref, q_ref, l_ref, u_ref,
+                          x_ref, z_ref, y_ref, done_ref,
+                          ox_ref, oz_ref, oy_ref, orp_ref, ord_ref,
+                          orpd_ref, ordd_ref, oflag_ref):
+    (chunk, nb, s, r_max, sigma, alpha, eps_abs, eps_rel,
+     check_interval, kkt_refine) = cfg
+
+    fac = fac_ref[:]
+    B0 = b0_ref[:]                       # (nb, r_max, s)
+    B1 = b1_ref[:]
+    D_P = dp_ref[:]                      # (nb, s, s)
+    L_P = lp_ref[:]                      # (nb - 1, s, s)
+    D_M = dm_ref[:]
+    L_M = lm_ref[:]
+    # shared scale/rho vectors arrive 2D; the trailing broadcast axis is
+    # added once here (per launch, not per iteration)
+    Dsc = dsc_ref[:][:, :, None]         # (nb, s, 1)
+    E_inv = einv_ref[:][:, :, None]      # (nb, r_max, 1), pads 0
+    E = esc_ref[:][:, :, None]
+    rho = rho_ref[:][:, :, None]         # (nb, r_max, 1), pads 1
+    cinv = scal_ref[0, 0]
+    qs = q_ref[:]                        # (nb, s, chunk)
+    ls = l_ref[:]                        # (nb, r_max, chunk)
+    us = u_ref[:]
+    dtype = qs.dtype
+    D_inv = 1.0 / Dsc
+
+    zero_blk = jnp.zeros((1, s, chunk), dtype)
+
+    def Av(xb, x_hi):
+        # (nb, r_max, chunk) <- windowed A; xb = x blocks, x_hi = shifted
+        acc = (B0[:, :, 0][:, :, None] * xb[:, 0][:, None, :]
+               + B1[:, :, 0][:, :, None] * x_hi[:, 0][:, None, :])
+        for i in range(1, s):
+            acc = acc + (B0[:, :, i][:, :, None] * xb[:, i][:, None, :]
+                         + B1[:, :, i][:, :, None] * x_hi[:, i][:, None, :])
+        return acc
+
+    def Atv(v):
+        # (nb, s, chunk) <- A' v with the B1 half shifted down one block
+        lo = B0[:, 0, :][:, :, None] * v[:, 0][:, None, :]
+        hi = B1[:, 0, :][:, :, None] * v[:, 0][:, None, :]
+        for r in range(1, r_max):
+            lo = lo + B0[:, r, :][:, :, None] * v[:, r][:, None, :]
+            hi = hi + B1[:, r, :][:, :, None] * v[:, r][:, None, :]
+        return jnp.concatenate(
+            [lo[:1], lo[1:] + hi[:nb - 1]], axis=0)
+
+    def shift_up(xb):
+        # x_{g+1} aligned at g (last block sees zeros)
+        return jnp.concatenate([xb[1:], zero_blk], axis=0)
+
+    def bt_mv(Db, Lb, xb):
+        # block-tridiagonal matvec with shared (D, L) blocks
+        y = _mv(Db, xb)
+        lo = _mv(Lb, xb[:-1])
+        up = _mvT(Lb, xb[1:])
+        y = jnp.concatenate([y[:1], y[1:] + lo], axis=0)
+        return jnp.concatenate([y[:-1] + up, y[-1:]], axis=0)
+
+    def kkt_solve(rhs):
+        xt = _cr_solve_inkernel(fac, meta, levels, rhs, s, chunk)
+        for _ in range(kkt_refine):
+            r = rhs - bt_mv(D_M, L_M, xt)
+            xt = xt + _cr_solve_inkernel(fac, meta, levels, r, s, chunk)
+        return xt
+
+    def one_iter(_, carry):
+        x, z, y = carry
+        rhs = sigma * x - qs + Atv(rho * z - y)
+        xt = kkt_solve(rhs)
+        zt = Av(xt, shift_up(xt))
+        x1 = alpha * xt + (1.0 - alpha) * x
+        w = alpha * zt + (1.0 - alpha) * z + y / rho
+        z1 = jnp.clip(w, ls, us)
+        y1 = rho * (w - z1)
+        return x1, z1, y1
+
+    x0 = x_ref[:]
+    z0 = z_ref[:]
+    y0 = y_ref[:]
+    done = done_ref[:]                   # (1, 1, chunk) int32
+
+    xn, zn, yn = jax.lax.fori_loop(0, check_interval, one_iter,
+                                   (x0, z0, y0))
+    keep = 1.0 - (done > 0).astype(dtype)        # (1, 1, chunk)
+    dx = keep * (xn - x0)
+    dy = keep * (yn - y0)
+    x = jnp.where(done > 0, x0, xn)
+    z = jnp.where(done > 0, z0, zn)
+    y = jnp.where(done > 0, y0, yn)
+
+    def inf_norm_rows(v):                # (nb, r_max, chunk) -> (1,1,chunk)
+        return jnp.max(jnp.max(jnp.abs(v), axis=0, keepdims=True),
+                       axis=1, keepdims=True)
+
+    def inf_norm_x(v):
+        return jnp.max(jnp.max(jnp.abs(v), axis=0, keepdims=True),
+                       axis=1, keepdims=True)
+
+    Ax = Av(x, shift_up(x))
+    Px = bt_mv(D_P, L_P, x)
+    Aty = Atv(y)
+    rp = inf_norm_rows(E_inv * (Ax - z))
+    rp_den = jnp.maximum(inf_norm_rows(E_inv * Ax),
+                         inf_norm_rows(E_inv * z))
+    rd = cinv * inf_norm_x(D_inv * (Px + qs + Aty))
+    rd_den = cinv * jnp.maximum(
+        jnp.maximum(inf_norm_x(D_inv * Px), inf_norm_x(D_inv * Aty)),
+        inf_norm_x(D_inv * qs))
+    ok = ((rp <= eps_abs + eps_rel * rp_den)
+          & (rd <= eps_abs + eps_rel * rd_den))
+
+    # infeasibility certificates (OSQP section 3.4) on the chunk deltas
+    Adx = Av(dx, shift_up(dx))
+    Pdx = bt_mv(D_P, L_P, dx)
+    Atdy = Atv(dy)
+    eps_inf = jnp.asarray(1e-4, dtype)
+    dy_n = inf_norm_rows(E * dy) * cinv
+    cert_p1 = inf_norm_x(D_inv * Atdy) * cinv <= eps_inf * dy_n
+    u_fin = jnp.where(us < _INF * 0.5, us * E_inv, 0.0)
+    l_fin = jnp.where(ls > -_INF * 0.5, ls * E_inv, 0.0)
+    sup = jnp.sum(jnp.sum(u_fin * jnp.maximum(E * dy, 0.0)
+                          + l_fin * jnp.minimum(E * dy, 0.0),
+                          axis=0, keepdims=True),
+                  axis=1, keepdims=True) * cinv
+    u_open = us >= _INF * 0.5
+    l_open = ls <= -_INF * 0.5
+    open_dir = (
+        jnp.any(jnp.any((dy > 1e-12) & u_open, axis=0, keepdims=True),
+                axis=1, keepdims=True)
+        | jnp.any(jnp.any((dy < -1e-12) & l_open, axis=0, keepdims=True),
+                  axis=1, keepdims=True))
+    p_inf = ((dy_n > 1e-10) & cert_p1 & (sup <= -eps_inf * dy_n)
+             & ~open_dir)
+
+    dx_n = inf_norm_x(Dsc * dx)
+    cert_d1 = inf_norm_x(D_inv * Pdx) * cinv <= eps_inf * dx_n
+    cert_d2 = (jnp.sum(jnp.sum(qs * dx, axis=0, keepdims=True),
+                       axis=1, keepdims=True) * cinv
+               <= -eps_inf * dx_n)
+    up_ok = u_open | (E_inv * Adx <= eps_inf * dx_n)
+    lo_ok = l_open | (E_inv * Adx >= -eps_inf * dx_n)
+    d_inf = ((dx_n > 1e-10) & cert_d1 & cert_d2
+             & jnp.all(jnp.all(up_ok & lo_ok, axis=0, keepdims=True),
+                       axis=1, keepdims=True))
+
+    ox_ref[:] = x
+    oz_ref[:] = z
+    oy_ref[:] = y
+    orp_ref[:] = rp
+    ord_ref[:] = rd
+    orpd_ref[:] = rp_den
+    ordd_ref[:] = rd_den
+    # flags packed as int32 bits: 1 ok, 2 p_inf, 4 d_inf
+    oflag_ref[:] = (ok.astype(jnp.int32) + 2 * p_inf.astype(jnp.int32)
+                    + 4 * d_inf.astype(jnp.int32))
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def pick_banded_chunk(B, nb, s, r_max, nb_tot, dtype=jnp.float32):
+    """Largest sub-batch fitting VMEM.  The wrapper issues one grid=1
+    pallas_call per sub-batch (block dims == array dims, so any chunk
+    size is Mosaic-legal and inputs are single-buffered); shared
+    (·, s, s)/(·, r, s) tensors pad their lane dim to 128."""
+    import os
+    forced = os.environ.get('CPG_BANDED_CHUNK')
+    if forced:
+        return int(forced) if int(forced) else None
+    esize = jnp.dtype(dtype).itemsize
+    shared = (nb_tot + 4 * nb) * s * 128 * esize \
+        + 2 * nb * r_max * 128 * esize
+    for chunk in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if B % chunk:
+            continue
+        lanes = max(chunk, 128)
+        # single-buffered per-chunk state (q, l, u, x, z, y) + live
+        # FMA temporaries (~5 row-space + ~4 x-space tensors)
+        state = (2 * nb * s * lanes + 5 * nb * r_max * lanes) * esize
+        temps = (5 * nb * r_max * lanes + 4 * nb * s * lanes) * esize
+        est = int(shared + state + int(temps * 1.6))
+        if est <= int(_VMEM_LIMIT * 0.9):
+            return chunk
+    return None
+
+
+def banded_shared_chunk(fac_packed, meta, B0, B1, D_P, L_P, D_M, L_M,
+                        D, E_inv, E, rho, c_inv, q, l, u, x, z, y, done,
+                        *, sigma, alpha, eps_abs, eps_rel, check_interval,
+                        kkt_refine, chunk=None, interpret=False):
+    """Run check_interval fused iterations on the whole batch.
+
+    Layouts (driver-prepared): q/x (nb, s, B); l/u/z/y (nb, r_max, B);
+    D (nb, s) / E, E_inv, rho (nb, r_max) shared 2D vectors; done
+    (1, 1, B) int32.  x/z/y update IN-PLACE (input_output_aliases).
+    Returns (x, z, y, rp, rd, rp_den, rd_den, flags)."""
+    nb, s, B = x.shape
+    r_max = l.shape[1]
+    dtype = x.dtype
+    nb_tot = fac_packed.shape[0]
+    if chunk is None:
+        chunk = pick_banded_chunk(B, nb, s, r_max, nb_tot, dtype)
+    assert chunk is not None and B % chunk == 0, (B, chunk)
+    levels = cr_level_shapes(nb)
+
+    cfg = (chunk, nb, s, r_max, float(sigma), float(alpha),
+           float(eps_abs), float(eps_rel), int(check_interval),
+           int(kkt_refine))
+
+    def vmem_spec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_banded_shared_kernel, cfg, meta, levels)
+    shared_args = (fac_packed, B0, B1, D_P, L_P, D_M, L_M,
+                   D.astype(dtype), E_inv.astype(dtype), E.astype(dtype),
+                   rho.astype(dtype),
+                   jnp.asarray(c_inv, dtype).reshape(1, 1))
+    n_in = len(shared_args) + 7
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vmem_spec()] * 11
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vmem_spec()] * 7,
+        out_specs=tuple([vmem_spec()] * 8),
+        out_shape=(jax.ShapeDtypeStruct((nb, s, chunk), dtype),
+                   jax.ShapeDtypeStruct((nb, r_max, chunk), dtype),
+                   jax.ShapeDtypeStruct((nb, r_max, chunk), dtype),
+                   jax.ShapeDtypeStruct((1, 1, chunk), dtype),
+                   jax.ShapeDtypeStruct((1, 1, chunk), dtype),
+                   jax.ShapeDtypeStruct((1, 1, chunk), dtype),
+                   jax.ShapeDtypeStruct((1, 1, chunk), dtype),
+                   jax.ShapeDtypeStruct((1, 1, chunk), jnp.int32)),
+        # x, z, y update in place: inputs 15, 16, 17 -> outputs 0, 1, 2
+        input_output_aliases={n_in - 7 + 3: 0, n_in - 7 + 4: 1,
+                              n_in - 7 + 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    # one grid=1 launch per sub-batch: block dims == array dims keeps
+    # Mosaic's lane-divisibility rule satisfied for ANY chunk size and
+    # avoids double-buffering the large per-chunk state
+    pieces = []
+    for o in range(0, B, chunk):
+        sl = slice(o, o + chunk)
+        pieces.append(call(*shared_args, q[..., sl], l[..., sl],
+                           u[..., sl], x[..., sl], z[..., sl],
+                           y[..., sl], done[..., sl]))
+    outs = [jnp.concatenate([p[i] for p in pieces], axis=-1)
+            if len(pieces) > 1 else pieces[0][i] for i in range(8)]
+    x_out, z, y, rp, rd, rp_den, rd_den, flags = outs
+    return (x_out, z, y,
+            rp[0, 0], rd[0, 0], rp_den[0, 0], rd_den[0, 0], flags[0, 0])

@@ -213,11 +213,46 @@ class CompiledBandedQPSolver:
         self._solve_jit = jax.jit(
             functools.partial(_banded_qp_solve_raw, self.struct),
             static_argnames=('settings',))
+        # shared-KKT fast path (solvers/admm_banded_shared.py): grouped-A
+        # layout exists iff every constraint row's support spans <= 2
+        # adjacent blocks (guaranteed for the RCM-banded pattern)
+        from ..solvers.admm_banded_shared import admm_solve_banded_shared
+        from ..ops.banded_grouped import build_grouped_a
+        self.grouped = build_grouped_a(
+            self.struct.a_row, self.struct.a_col, family.m,
+            self.struct.s, self.struct.nb)
+        self._pa_mask = pa_theta_mask(family)
+        # the fused kernel must fit VMEM at SOME chunk size; otherwise
+        # stay on the per-instance engine
+        if self.grouped is not None:
+            from ..ops.banded_shared_kernel import (estimate_nb_tot,
+                                                    pick_banded_chunk)
+            if pick_banded_chunk(4096, self.struct.nb, self.struct.s,
+                                 self.grouped.r_max,
+                                 estimate_nb_tot(self.struct.nb)) is None:
+                self.grouped = None
+        if self.grouped is not None:
+            self._solve_shared_jit = jax.jit(
+                functools.partial(_banded_qp_solve_shared_raw,
+                                  self.struct, self.grouped),
+                static_argnames=('settings',))
+        else:
+            self._solve_shared_jit = None
 
     def solve_batch(self, theta, settings: ADMMSettings = None,
-                    x0=None, y0=None):
+                    x0=None, y0=None, shared_PA='auto'):
+        """Batched banded solve; ``shared_PA`` as in CompiledQPSolver:
+        the fused shared-KKT kernel engages when all batch rows share the
+        canonical P/A (one CR factorization + one Pallas launch per
+        check interval instead of ~60 XLA ops per iteration)."""
+        theta_in = theta
         theta = jnp.atleast_2d(jnp.asarray(theta))
         st = settings or self.settings
+        if (self._solve_shared_jit is not None
+                and jax.default_backend() == 'tpu'
+                and use_shared_path(self._pa_mask, theta_in, shared_PA)):
+            return self._solve_shared_jit(self.jf, theta, x0, y0,
+                                          settings=st)
         return self._solve_jit(self.jf, theta, x0, y0, settings=st)
 
     solve_into_problem = CompiledQPSolver.solve_into_problem
@@ -236,6 +271,24 @@ def _banded_qp_solve_raw(struct, jf: JaxFamily, theta, x0, y0,
     res = admm_solve_banded(struct, data['pvals'], data['q'],
                             data['avals'], l, u, jf.n_zero, settings,
                             x0=x0, y0=y0)
+    res['d'] = data['d']
+    res['y_canon'] = -res['y']
+    return res
+
+
+def _banded_qp_solve_shared_raw(struct, grouped, jf: JaxFamily, theta,
+                                x0, y0, settings: ADMMSettings):
+    from ..solvers.admm_banded_shared import admm_solve_banded_shared
+    from .jax_family import canon_batch_sparse
+    data = canon_batch_sparse(jf, theta)
+    mz = jf.n_zero
+    b = data['b']
+    l = -b
+    u = jnp.concatenate([-b[:, :mz], jnp.full_like(b[:, mz:], jnp.inf)],
+                        axis=1)
+    res = admm_solve_banded_shared(
+        struct, grouped, data['pvals'][0], data['q'], data['avals'][0],
+        l, u, jf.n_zero, settings, x0=x0, y0=y0)
     res['d'] = data['d']
     res['y_canon'] = -res['y']
     return res

@@ -948,7 +948,7 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         cond, body, state0)
     it_vec = jnp.where(status != 0, it_vec, it)
 
-    if exo and P_is_zero and st.hsde_iters > 0:
+    if exo and st.hsde_iters > 0:
         # HSDE post-pass (solvers/ipm_hsde.py): instances still
         # undetermined after max_iter get classified through the
         # homogeneous embedding -- its final iterate is a Farkas ray for
@@ -958,17 +958,70 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
         # instances keep status 0 (honest max_iter).  Runs only when
         # needed (lax.cond), on the Ruiz-scaled data; the positive
         # diagonal unscaling maps rays to rays.
+        #
+        # P != 0 layouts reduce to the P = 0 homogeneous model through
+        # the EPIGRAPH form (VERDICT r3 item 5):
+        #   min q'x + 0.5 x'Px  ==  min_{x,t} q'x + t
+        #                           s.t. x'Px <= 2t  (rotated cone),
+        # encoded as the standard SOC  t+1 >= ||(sqrt(2) W x, t-1)||
+        # with W'W = P via a batched eigendecomposition (exact for
+        # rank-deficient P -- a Cholesky jitter would make every
+        # unbounded instance look bounded).  Feasible sets in x match,
+        # objectives match, so primal/dual infeasibility transfers; the
+        # returned ray is restricted to the original rows and
+        # re-verified against the ORIGINAL problem data.
         from .ipm_hsde import hsde_run
 
         def classify(status_in):
-            xh, nuh, zh, sh, tau, kap = hsde_run(
-                q, E, f, G, h, l_nonneg, socs, exo,
-                iters=st.hsde_iters,
-                exotic_beta=st.exotic_beta, exotic_shrink=st.exotic_shrink,
-                exotic_backtracks=st.exotic_backtracks,
-                static_reg=max(st.static_reg, 1e-8),
-                refine_steps=st.refine_steps)
-            xu_r, nuu_r, zu_r, _ = unscale(xh, nuh, zh, sh)
+            if P_is_zero:
+                xh, nuh, zh, sh, tau, kap = hsde_run(
+                    q, E, f, G, h, l_nonneg, socs, exo,
+                    iters=st.hsde_iters,
+                    exotic_beta=st.exotic_beta,
+                    exotic_shrink=st.exotic_shrink,
+                    exotic_backtracks=st.exotic_backtracks,
+                    static_reg=max(st.static_reg, 1e-8),
+                    refine_steps=st.refine_steps)
+                x_r, z_r, s_r = xh, zh, sh
+            else:
+                w_eig, V = jnp.linalg.eigh(P)
+                W_fac = (jnp.sqrt(jnp.clip(w_eig, 0.0, None))[:, :, None]
+                         * jnp.swapaxes(V, 1, 2))        # (B, n, n)
+                sq2 = jnp.asarray(jnp.sqrt(2.0), dtype)
+                zc = jnp.zeros((B, 1), dtype)
+                q_t = jnp.concatenate([q, jnp.ones((B, 1), dtype)], axis=1)
+                E_t = (jnp.concatenate([E, jnp.zeros((B, mz, 1), dtype)],
+                                       axis=2) if mz else E)
+                tcol = jnp.zeros((B, 1, n + 1), dtype)
+                tcol = tcol.at[:, 0, n].set(1.0)
+                G_soc = jnp.concatenate(
+                    [tcol,
+                     jnp.concatenate([sq2 * W_fac,
+                                      jnp.zeros((B, n, 1), dtype)], axis=2),
+                     tcol], axis=1)                      # (B, n+2, n+1)
+                h_soc = jnp.concatenate(
+                    [jnp.ones((B, 1), dtype), jnp.zeros((B, n), dtype),
+                     -jnp.ones((B, 1), dtype)], axis=1)
+                G_e = jnp.concatenate(
+                    [G, jnp.zeros((B, mc, 1), dtype)], axis=2)
+                G_t = jnp.concatenate(
+                    [G_e[:, :ms], G_soc, G_e[:, ms:]], axis=1)
+                h_t = jnp.concatenate(
+                    [h[:, :ms], h_soc, h[:, ms:]], axis=1)
+                xh, nuh, zh, sh, tau, kap = hsde_run(
+                    q_t, E_t, f, G_t, h_t, l_nonneg, socs + (n + 2,), exo,
+                    iters=st.hsde_iters,
+                    exotic_beta=st.exotic_beta,
+                    exotic_shrink=st.exotic_shrink,
+                    exotic_backtracks=st.exotic_backtracks,
+                    static_reg=max(st.static_reg, 1e-8),
+                    refine_steps=st.refine_steps)
+                x_r = xh[:, :n]
+                z_r = jnp.concatenate([zh[:, :ms], zh[:, ms + n + 2:]],
+                                      axis=1)
+                s_r = jnp.concatenate([sh[:, :ms], sh[:, ms + n + 2:]],
+                                      axis=1)
+            xu_r, nuu_r, zu_r, _ = unscale(x_r, nuh, z_r, s_r)
             p_inf, d_inf = infeasibility(xu_r, nuu_r, zu_r, membership=True)
             # the embedding's own signal gates the classification: a ray
             # only exists when kappa dominates tau

@@ -128,6 +128,67 @@ def test_feasible_entropy_family_unchanged():
     np.testing.assert_allclose(obj, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_qp_exp_primal_infeasible_status():
+    """P != 0 exotic layout (VERDICT r3 item 5): a quadratic objective
+    routes the HSDE pass through the epigraph reduction; infeasible
+    exp-cone instances must still certify -3."""
+    y = ct.Variable(name='y')
+    q = ct.Parameter(name='q')
+    prob = ct.Problem(ct.Minimize(ct.square(y) + y),
+                      [ct.exp(y) <= q, y >= 0.0])
+    q.value = -1.0
+    fam = canonicalize(prob)
+    assert fam.P_map is not None and fam.P_map.nnz > 0   # genuinely P != 0
+    s = make_compiled_solver(fam, 'CLARABEL')
+    s.solve_into_problem(prob)
+    assert prob.status == 'infeasible'
+    assert prob.value == np.inf
+
+
+def test_qp_exp_batch_statuses():
+    """Batched P != 0 exotic layout: infeasible instances get -3 while
+    feasible ones stay optimal (epigraph HSDE never contaminates)."""
+    y = ct.Variable(name='y')
+    q = ct.Parameter(name='q')
+    prob = ct.Problem(ct.Minimize(0.5 * ct.square(y) + y),
+                      [ct.exp(y) <= q, y >= 0.0])
+    q.value = 2.0
+    fam = canonicalize(prob)
+    s = make_compiled_solver(fam, 'CLARABEL')
+    qi = [pi for pi in fam.param_info if pi.name == 'q'][0]
+    base = fam.pack_theta(params=prob.parameters())
+    theta = np.tile(base, (4, 1))
+    theta[:, qi.offset] = [2.0, -1.0, 3.0, -0.5]
+    out = s.solve_batch(theta)
+    st = np.asarray(out['status'])
+    assert st[0] == 1 and st[2] == 1
+    assert st[1] == -3 and st[3] == -3
+    x0 = np.asarray(out['x'])[0]
+    assert abs(x0[0]) < 1e-4          # optimum y = 0 for feasible rows
+
+
+def test_qp_exp_unbounded_status():
+    """P != 0 (rank-deficient P) unbounded exotic instance: the epigraph
+    W factor must not perturb the null space (eigh, not jittered
+    Cholesky), so the -4 certificate survives."""
+    n = 4
+    x = ct.Variable(n, name='x')
+    t = ct.Variable(name='t')
+    c = ct.Parameter(name='c')
+    # quadratic in x only (P rank-deficient: no curvature on t); the
+    # exp row bounds t above but not below, so c*t -> -inf
+    prob = ct.Problem(
+        ct.Minimize(ct.sum_squares(x) + c * t),
+        [ct.exp(t) <= 10.0])
+    c.value = 1.0
+    fam = canonicalize(prob)
+    assert getattr(fam, 'n_exp', 0) > 0
+    assert fam.P_map is not None and fam.P_map.nnz > 0
+    s = make_compiled_solver(fam, 'CLARABEL')
+    s.solve_into_problem(prob)
+    assert prob.status == 'unbounded'
+
+
 def test_symmetric_socp_unchanged():
     """Symmetric-cone (SOC) classification does not route through the
     HSDE pass and keeps working."""
