@@ -58,6 +58,8 @@ extern "C" {
 void* cpg_native_init(int64_t n, int64_t m, int64_t p, int64_t n_eq);
 void cpg_native_set_cones(void* h, int64_t n_nonneg, int64_t n_soc,
                           const int64_t* soc_dims);
+void cpg_native_set_cones_ext(void* h, int64_t n_exp, int64_t n_pow,
+                              const double* pow_alphas);
 void cpg_native_set_map(void* h, int32_t which, int64_t n_rows,
                         const int64_t* indptr, const int64_t* indices,
                         const double* data);
@@ -85,18 +87,20 @@ extern const double cpg_theta_default[];
 '''
 
 _EXAMPLE = '''/* Standalone example for this generated family (reference
- * cpg_example.c.jinja2:16-88 role): update the first parameter entry,
- * solve, print solution head + stats.  Build: `make`. */
+ * cpg_example.c.jinja2:16-88 role): update the first parameter entry
+ * through its named update function, solve, print solution head +
+ * stats.  Build: `make`. */
 #include <stdio.h>
 #include <stdlib.h>
 #include "cpg_core.h"
+#include "cpg_family.h"
 
 int main(void) {
   void* h = cpg_setup();
-  /* parameter update (cpg_update_<param> role) */
+  /* named per-parameter update (reference cpg_update_<param>,
+   * utils.py:909-926) */
   cpg_native_set_theta(h, cpg_theta_default);
-  if (cpg_p > 0)
-    cpg_native_update_theta(h, 0, cpg_theta_default[0]);
+%UPDATE_LINE%
   cpg_native_solve(h);
   double* x = (double*)malloc(sizeof(double) * (size_t)cpg_n);
   cpg_native_get_x(h, x);
@@ -122,12 +126,16 @@ clean:
 
 
 def write_c_artifact(code_dir, fam, theta_default=None):
-    """Emit the standalone C project for a QP-form or SOC-cone family
-    (the conic core mirrors the reference's embedded SCS C, which covers
-    exactly zero/nonneg/SOC -- reference scs.py:130-135,137-164).
-    Returns the c/ directory path, or None for exp/PSD/pow families."""
-    if getattr(fam, 'n_exp', 0) or getattr(fam, 'psd_dims', ()) \
-            or getattr(fam, 'pow_alphas', ()):
+    """Emit the standalone C project for a QP / SOC / exp / pow family
+    (the conic core mirrors the reference's embedded conic C coverage:
+    SCS for zero/nonneg/SOC -- reference scs.py:130-135,137-164 -- and
+    round 4 adds exp/pow projections, the cones the reference reaches
+    through Clarabel, clarabel.py:133-155).  PSD stays out: its
+    projection needs an eigendecomposition, which the dependency-free
+    core deliberately excludes (the reference keeps PSD on the vendored
+    Clarabel/LAPACK stack for the same reason).  Returns the c/
+    directory path, or None for PSD families."""
+    if getattr(fam, 'psd_dims', ()):
         return None
     import scipy.sparse as spa
 
@@ -149,6 +157,7 @@ def write_c_artifact(code_dir, fam, theta_default=None):
 
     parts = ['/* Family data (reference cpg_workspace.c role): theta-affine'
              ' canonicalization maps in CSR. */\n#include "cpg_core.h"\n'
+             '#include "cpg_family.h"\n'   # extern "C" update prototypes
              '#include <stddef.h>\n']
     for name, M in (('P', Pfull), ('q', fam.q_map), ('d', fam.d_map),
                     ('A', Afull), ('b', fam.b_map)):
@@ -169,18 +178,51 @@ def write_c_artifact(code_dir, fam, theta_default=None):
             f'cpg_map_{name}_data);\n')
     if fam.d_quad is not None:
         parts.append('  cpg_native_set_dquad(h, cpg_dquad);\n')
-    if fam.soc_dims:
+    n_exp = int(getattr(fam, 'n_exp', 0))
+    pows = list(getattr(fam, 'pow_alphas', ()) or ())
+    if fam.soc_dims or n_exp or pows:
         parts.append(
             'static const int64_t cpg_soc_dims[] = {\n  '
             + _fmt_i64(list(fam.soc_dims)) + '\n};\n'
             f'  cpg_native_set_cones(h, {fam.n_nonneg}, '
             f'{len(fam.soc_dims)}, cpg_soc_dims);\n')
+    if n_exp or pows:
+        parts.append(
+            'static const double cpg_pow_alphas[] = {\n  '
+            + _fmt_dbl(pows) + '\n};\n'
+            f'  cpg_native_set_cones_ext(h, {n_exp}, {len(pows)}, '
+            'cpg_pow_alphas);\n')
     parts.append('  cpg_native_set_theta(h, cpg_theta_default);\n'
                  '  return h;\n}\n')
+    # per-user-parameter update functions (reference cpg_update_<name>,
+    # utils.py:909-926): idx is the flat (Fortran) index within the
+    # parameter, mirroring the reference's flattening convention
+    for pi in fam.param_info:
+        parts.append(
+            f'void cpg_update_{pi.name}(void* h, int64_t idx, '
+            'double val) {\n'
+            f'  cpg_native_update_theta(h, {pi.offset} + idx, val);\n'
+            '}\n')
     with open(os.path.join(cdir, 'cpg_data.c'), 'w') as f:
         f.write(''.join(parts))
+    # family header: named update prototypes for user code
+    fh = ['#ifndef CPG_FAMILY_H\n#define CPG_FAMILY_H\n'
+          '#include "cpg_core.h"\n#ifdef __cplusplus\nextern "C" {\n'
+          '#endif\n']
+    for pi in fam.param_info:
+        fh.append(f'void cpg_update_{pi.name}(void* h, int64_t idx, '
+                  'double val);\n')
+    fh.append('#ifdef __cplusplus\n}\n#endif\n#endif\n')
+    with open(os.path.join(cdir, 'cpg_family.h'), 'w') as f:
+        f.write(''.join(fh))
+    if fam.param_info:
+        first = fam.param_info[0]
+        upd = (f'  cpg_update_{first.name}(h, 0, '
+               f'cpg_theta_default[{first.offset}]);')
+    else:
+        upd = '  /* parameter-free family */'
     with open(os.path.join(cdir, 'cpg_example.c'), 'w') as f:
-        f.write(_EXAMPLE)
+        f.write(_EXAMPLE.replace('%UPDATE_LINE%', upd))
     with open(os.path.join(cdir, 'Makefile'), 'w') as f:
         f.write(_MAKEFILE)
     return cdir
@@ -192,11 +234,24 @@ _EXPLICIT_MAIN = '''/* Standalone explicit-QP evaluator (reference pdaqp
  * argmax over regions -- the table is the same one the TPU evaluator
  * uses), apply the region's affine feedback.  Build: `make`. */
 #include <stdio.h>
+#include <string.h>
 
+static double cpg_theta[CPG_P];
+
+/* named per-parameter updates with explicit-mode bound clipping
+ * (reference cpg_update_<param> with clip, utils.py:909-926) */
+static void cpg_update_raw(int k, double val) {
+  if (val < cpg_lb_full[k]) val = cpg_lb_full[k];
+  if (val > cpg_ub_full[k]) val = cpg_ub_full[k];
+  cpg_theta[k] = val;
+}
+%UPDATE_FNS%
 int main(void) {
+  memcpy(cpg_theta, cpg_theta_default, sizeof cpg_theta);
+%UPDATE_CALL%
   double tt[CPG_PR + 1];
   for (int j = 0; j < CPG_PR; ++j) {
-    double v = cpg_theta_default[cpg_th_sel[j]];
+    double v = cpg_theta[cpg_th_sel[j]];
     if (v < cpg_th_lb[j]) v = cpg_th_lb[j];
     if (v > cpg_th_ub[j]) v = cpg_th_ub[j];
     tt[j] = v;
@@ -245,12 +300,34 @@ def write_c_artifact_explicit(code_dir, fam, data, theta_default=None):
     n_store = data.FB.shape[1]
     theta = (np.zeros(fam.p) if theta_default is None
              else np.asarray(theta_default, dtype=float))
+    # flat-theta bound arrays for the clipped per-param updates: the box
+    # applies to the th_sel-selected entries, everything else is open
+    lb_full = np.full(max(fam.p, 1), -1e30)
+    ub_full = np.full(max(fam.p, 1), 1e30)
+    sel = np.asarray(data.th_sel, dtype=int)
+    lb_full[sel] = np.asarray(data.th_lb, dtype=float)
+    ub_full[sel] = np.asarray(data.th_ub, dtype=float)
+    upd_fns = []
+    upd_call = '  /* parameter-free family */'
+    for pi in fam.param_info:
+        upd_fns.append(
+            f'static void cpg_update_{pi.name}(int idx, double val) '
+            f'{{ cpg_update_raw({pi.offset} + idx, val); }}\n')
+    if fam.param_info:
+        p0 = fam.param_info[0]
+        upd_call = (f'  cpg_update_{p0.name}(0, '
+                    f'cpg_theta_default[{p0.offset}]);')
     parts = [
         '/* Explicit lookup table (reference pdaqp C role): region tests'
         ' (padded rows\n * always satisfied) and per-region affine'
         ' feedbacks, float literals from the\n * stored table. */\n',
         f'#define CPG_R {R}\n#define CPG_T {t_max}\n'
-        f'#define CPG_PR {pr1 - 1}\n#define CPG_NSTORE {n_store}\n',
+        f'#define CPG_PR {pr1 - 1}\n#define CPG_NSTORE {n_store}\n'
+        f'#define CPG_P {max(fam.p, 1)}\n',
+        'static const double cpg_lb_full[] = {\n  '
+        + _fmt_dbl(lb_full) + '\n};\n',
+        'static const double cpg_ub_full[] = {\n  '
+        + _fmt_dbl(ub_full) + '\n};\n',
         'static const double cpg_TEST[] = {\n  '
         + _fmt_dbl(np.asarray(data.TEST, dtype=float).ravel()) + '\n};\n',
         'static const double cpg_FB[] = {\n  '
@@ -264,8 +341,9 @@ def write_c_artifact_explicit(code_dir, fam, data, theta_default=None):
         'static const int cpg_store_idx[] = {\n  '
         + _fmt_i64(data.store_idx) + '\n};\n',
         'static const double cpg_theta_default[] = {\n  '
-        + _fmt_dbl(theta) + '\n};\n',
-        _EXPLICIT_MAIN,
+        + _fmt_dbl(theta if fam.p else np.zeros(1)) + '\n};\n',
+        _EXPLICIT_MAIN.replace('%UPDATE_FNS%', ''.join(upd_fns))
+        .replace('%UPDATE_CALL%', upd_call),
     ]
     with open(os.path.join(cdir, 'cpg_explicit.c'), 'w') as f:
         f.write(''.join(parts))

@@ -47,6 +47,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
             c_i64_p, c_i64_p, c_dbl_p]
         lib.cpg_native_set_dquad.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_set_cones_ext.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, c_dbl_p]
         lib.cpg_native_set_cones.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, c_i64_p]
         lib.cpg_native_set_theta.argtypes = [ctypes.c_void_p, c_dbl_p]
@@ -86,20 +88,28 @@ class NativeQPSolver:
                    'rho_eq_scale': 7}
 
     def __init__(self, family):
-        if (getattr(family, 'n_exp', 0) or getattr(family, 'psd_dims', ())
-                or getattr(family, 'pow_alphas', ())):
-            raise ValueError('native solver: QP/SOC-form families only '
-                             '(exp/PSD/pow cones are not embeddable, '
-                             'mirroring reference scs.py:130-135)')
+        if getattr(family, 'psd_dims', ()):
+            raise ValueError('native solver: PSD cones are not embeddable '
+                             '(the projection needs an eigendecomposition; '
+                             'the dependency-free core stops at exp/pow -- '
+                             'the reference draws the same line by keeping '
+                             'PSD on Clarabel, clarabel.py:133-155)')
         self.family = family
         self.lib = get_lib()
         self.h = self.lib.cpg_native_init(family.n, family.m, family.p,
                                           family.n_zero)
-        if family.soc_dims:
+        n_exp = int(getattr(family, 'n_exp', 0))
+        pows = list(getattr(family, 'pow_alphas', ()) or ())
+        if family.soc_dims or n_exp or pows:
             socs = _as_i64(list(family.soc_dims))
             self.lib.cpg_native_set_cones(
                 self.h, int(family.n_nonneg), len(family.soc_dims),
                 socs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if n_exp or pows:
+            alphas = np.ascontiguousarray(pows, dtype=np.float64)
+            self.lib.cpg_native_set_cones_ext(
+                self.h, n_exp, len(pows),
+                alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         import scipy.sparse as spa
         from ..runtime.jax_family import _expand_rows
         n, m = family.n, family.m

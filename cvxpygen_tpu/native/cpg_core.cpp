@@ -67,9 +67,16 @@ struct Workspace {
   double eps_abs = 1e-3, eps_rel = 1e-3;
   int32_t max_iter = 4000, check_interval = 25, scaling = 10;
   bool warm_start = false;
-  // cone layout (rows: n_eq zero | n_nonneg | SOC blocks); empty = box QP
+  // cone layout (rows: n_eq zero | n_nonneg | SOC blocks | exp triples
+  // | pow triples); empty = box QP.  Mirrors ops/cones.ConeLayout (PSD
+  // stays Python/JAX-only: its projection needs an eigendecomposition,
+  // which this dependency-free core deliberately excludes -- same
+  // boundary the reference draws by embedding SCS (zero/nonneg/SOC
+  // only, reference scs.py:130-135) and leaving PSD to Clarabel).
   int64_t n_nonneg = 0;
   std::vector<int64_t> socs;
+  int64_t n_exp = 0;
+  std::vector<double> pow_alphas;
   bool conic = false;
 };
 
@@ -118,6 +125,102 @@ double inf_norm(const double* v, int64_t n) {
   double out = 0.0;
   for (int64_t i = 0; i < n; ++i) out = std::max(out, std::fabs(v[i]));
   return out;
+}
+
+// exponential-cone projection (port of ops/cones.py _proj_exp_block:
+// Friberg's univariate root h(alpha) with fixed-count bisection).
+void proj_exp3(double v[3]) {
+  double nrm = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+  if (nrm < 1e-30) nrm = 1e-30;
+  double r = v[0] / nrm, s = v[1] / nrm, t = v[2] / nrm;
+  const double tol = 1e-7;
+  auto safe_exp = [](double x) {
+    return std::exp(std::min(std::max(x, -60.0), 60.0));
+  };
+  bool in_K = (s > 0 && s * safe_exp(r / s) <= t + tol) ||
+              (std::fabs(s) <= tol && r <= tol && t >= -tol);
+  if (in_K) return;
+  double u1 = -r, u2 = -s, u3 = -t;
+  bool in_polar = (u1 < 0 && -u1 * safe_exp(u2 / u1) <= 2.718281828459045 * u3 + tol) ||
+                  (std::fabs(u1) <= tol && u2 >= -tol && u3 >= -tol);
+  if (in_polar) { v[0] = v[1] = v[2] = 0.0; return; }
+  double face[3] = {std::min(r, 0.0), 0.0, std::max(t, 0.0)};
+  if (r <= 0 && s <= 0) {
+    v[0] = face[0] * nrm; v[1] = 0.0; v[2] = face[2] * nrm; return;
+  }
+  const double AMAX = 30.0;
+  double lo = -AMAX, hi = AMAX;
+  if (r > 0) lo = std::max(lo, 1.0 - s / r);
+  if (r < 0) hi = std::min(hi, 1.0 - s / r);
+  if (s > 0) hi = std::min(hi, r / s);
+  if (s < 0) lo = std::max(lo, r / s);
+  lo = std::min(std::max(lo, -AMAX), AMAX);
+  hi = std::min(std::max(hi, -AMAX), AMAX);
+  double epsw = 1e-6 * (hi - lo);
+  lo += epsw; hi -= epsw;
+  auto h_of = [&](double a, double* x2o, double* eao) {
+    double den = a * a - a + 1.0;
+    double x2 = (r * (a - 1.0) + s) / den;
+    double g = (r - a * s) / den;
+    double ea = safe_exp(a);
+    if (x2o) *x2o = x2;
+    if (eao) *eao = ea;
+    return x2 * ea - g / ea - t;
+  };
+  double h_lo = h_of(lo, nullptr, nullptr);
+  double a = lo, b2 = hi;
+  for (int i = 0; i < 64; ++i) {
+    double mid = 0.5 * (a + b2);
+    double hm = h_of(mid, nullptr, nullptr);
+    bool left = ((hm >= 0) != (h_lo >= 0));
+    if (left) b2 = mid; else a = mid;
+  }
+  double alpha = 0.5 * (a + b2), x2, ea;
+  h_of(alpha, &x2, &ea);
+  x2 = std::max(x2, 0.0);
+  double root[3] = {alpha * x2, x2, x2 * ea};
+  double d_root = 0.0, d_face = 0.0;
+  double wv[3] = {r, s, t};
+  for (int i = 0; i < 3; ++i) {
+    d_root += (root[i] - wv[i]) * (root[i] - wv[i]);
+    d_face += (face[i] - wv[i]) * (face[i] - wv[i]);
+  }
+  const double* best = (b2 - a <= 0 || d_face < d_root) ? face : root;
+  for (int i = 0; i < 3; ++i) v[i] = best[i] * nrm;
+}
+
+// 3D power-cone projection (port of ops/cones.py _proj_pow_block, Hien
+// 2015 parametrization with fixed-count bisection on Phi(r)).
+void proj_pow3(double v[3], double a) {
+  double r0 = v[0], s0 = v[1], t0 = v[2];
+  double at = std::fabs(t0);
+  const double tol = 1e-9;
+  auto powa = [&](double x, double y) {
+    double xs = std::max(x, 0.0), ys = std::max(y, 0.0);
+    return std::pow(xs, a) * std::pow(ys, 1.0 - a);
+  };
+  if (r0 >= -tol && s0 >= -tol && powa(r0, s0) >= at - tol) return;
+  if (r0 <= tol && s0 <= tol &&
+      powa(-r0 / a, -s0 / (1.0 - a)) >= at - tol) {
+    v[0] = v[1] = v[2] = 0.0; return;
+  }
+  if (at <= tol) {
+    v[0] = std::max(r0, 0.0); v[1] = std::max(s0, 0.0); v[2] = 0.0;
+    return;
+  }
+  auto xi = [&](double vi, double ai, double rr) {
+    return 0.5 * (vi + std::sqrt(vi * vi + 4.0 * ai * rr * (at - rr)));
+  };
+  double lo = 1e-12 * std::max(at, 1.0), hi = at * (1.0 - 1e-7);
+  for (int i = 0; i < 60; ++i) {
+    double mid = 0.5 * (lo + hi);
+    double phi = powa(xi(r0, a, mid), xi(s0, 1.0 - a, mid)) - mid;
+    if (phi >= 0) lo = mid; else hi = mid;
+  }
+  double rr = 0.5 * (lo + hi);
+  v[0] = xi(r0, a, rr);
+  v[1] = xi(s0, 1.0 - a, rr);
+  v[2] = (t0 >= 0 ? rr : -rr);
 }
 
 void canonicalize(Workspace* w) {
@@ -172,7 +275,11 @@ void solve(Workspace* w) {
       // block-uniform row scale within each SOC block (cone invariance):
       // geometric mean, mirroring solvers/conic_admm.py Ruiz
       int64_t off = w->n_eq + w->n_nonneg;
-      for (int64_t d : w->socs) {
+      std::vector<int64_t> blocks(w->socs);
+      for (int64_t e = 0; e < w->n_exp; ++e) blocks.push_back(3);
+      for (size_t pi = 0; pi < w->pow_alphas.size(); ++pi)
+        blocks.push_back(3);
+      for (int64_t d : blocks) {
         double lg = 0.0;
         for (int64_t i = 0; i < d; ++i) lg += std::log(dcv[off + i]);
         double g = std::exp(lg / (double)d);
@@ -287,6 +394,25 @@ void solve(Workspace* w) {
         }
         off += d;
       }
+      // exp triples then pow triples: z_blk = proj(w_blk + bs) - bs
+      int64_t n_extra = w->n_exp + (int64_t)w->pow_alphas.size();
+      for (int64_t blk = 0; blk < n_extra; ++blk) {
+        double vv[3];
+        for (int64_t i = 0; i < 3; ++i) {
+          int64_t k = off + i;
+          wv[k] = w->alpha * zt[k] + (1.0 - w->alpha) * z[k] + y[k] / rho[k];
+          vv[i] = wv[k] + E[k] * w->b[k];
+        }
+        if (blk < w->n_exp) proj_exp3(vv);
+        else proj_pow3(vv, w->pow_alphas[blk - w->n_exp]);
+        for (int64_t i = 0; i < 3; ++i) {
+          int64_t k = off + i;
+          double zk = vv[i] - E[k] * w->b[k];
+          y[k] = rho[k] * (wv[k] - zk);
+          z[k] = zk;
+        }
+        off += 3;
+      }
     }
     if ((it + 1) % w->check_interval == 0) {
       double rp = 0.0, rp_den = 0.0, rd = 0.0, rd_den = 0.0;
@@ -374,6 +500,14 @@ void cpg_native_set_cones(void* h, int64_t n_nonneg, int64_t n_soc,
   auto* w = static_cast<Workspace*>(h);
   w->n_nonneg = n_nonneg;
   w->socs.assign(soc_dims, soc_dims + n_soc);
+  w->conic = true;
+}
+
+void cpg_native_set_cones_ext(void* h, int64_t n_exp, int64_t n_pow,
+                              const double* pow_alphas) {
+  auto* w = static_cast<Workspace*>(h);
+  w->n_exp = n_exp;
+  w->pow_alphas.assign(pow_alphas, pow_alphas + n_pow);
   w->conic = true;
 }
 

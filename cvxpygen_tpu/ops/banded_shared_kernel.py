@@ -62,27 +62,32 @@ def estimate_nb_tot(nb):
 
 def _mv(M3, v3):
     """Batched block matvec: M3 (n, s, s) x v3 (n, s, chunk) ->
-    (n, s, chunk); fixed FMA loop over the contraction index (the
-    batched-small-matmul shape Mosaic cannot route to the MXU)."""
-    s = M3.shape[1]
-    acc = M3[:, :, 0][:, :, None] * v3[:, 0][:, None, :]
-    for j in range(1, s):
-        acc = acc + M3[:, :, j][:, :, None] * v3[:, j][:, None, :]
-    return acc
+    (n, s, chunk) as ONE broadcast-multiply + ONE sublane reduction over
+    a (n, s, s, chunk) temporary.
+
+    The batched-small-matmul shape has no MXU routing, and the
+    alternative -- an unrolled FMA chain over the contraction index --
+    was measured to blow the Mosaic register allocator's spill-slot
+    budget (~500MB of slots at nb=541: every chain link is a spilled
+    multi-MB vector value).  The 4D form touches s x more data per
+    matvec but is 2 instructions with a single live temporary."""
+    t = M3[:, :, :, None] * v3[:, None, :, :]
+    return jnp.sum(t, axis=2)
 
 
 def _mvT(M3, v3):
-    """Transposed block matvec: out = M3' v3 per block."""
-    s = M3.shape[1]
-    acc = M3[:, 0, :][:, :, None] * v3[:, 0][:, None, :]
-    for j in range(1, s):
-        acc = acc + M3[:, j, :][:, :, None] * v3[:, j][:, None, :]
-    return acc
+    """Transposed block matvec: out = M3' v3 per block (same 4D form;
+    the contraction runs over M3's ROW index)."""
+    t = M3[:, :, :, None] * v3[:, :, None, :]
+    return jnp.sum(t, axis=1)
 
 
-def _cr_solve_inkernel(fac, meta, levels, b, s, chunk):
+def _cr_solve_inkernel(fac_ref, meta, levels, b, s, chunk):
     """Cyclic-reduction solve on (nb, s, chunk) values with shared packed
-    factors; mirrors ops/block_tridiag.cr_solve."""
+    factors; mirrors ops/block_tridiag.cr_solve.  Factor slices are read
+    from the REF at each use so their live ranges end per level (loading
+    the whole packed factor up front put ~460MB of spill slots on the
+    Mosaic register allocator)."""
     dtype = b.dtype
     nb0 = b.shape[0]
     stack = []
@@ -99,17 +104,15 @@ def _cr_solve_inkernel(fac, meta, levels, b, s, chunk):
         # nA == 0 at the deepest levels (n2 == 1): Mosaic rejects
         # zero-size vectors, so guard statically
         if nA:
-            A = fac[oA:oA + nA]
-            bp_tail = b_even[1:] - _mv(A, b_odd[:nA])
+            bp_tail = b_even[1:] - _mv(fac_ref[oA:oA + nA], b_odd[:nA])
             bp = jnp.concatenate([b_even[:1], bp_tail], axis=0)
         else:
             bp = b_even
-        C = fac[oC:oC + nC]
-        bp = bp - _mv(C, b_odd)
+        bp = bp - _mv(fac_ref[oC:oC + nC], b_odd)
         stack.append(b_odd)
         b = bp
     oR = meta['root']
-    x = _mv(fac[oR:oR + 1], b)
+    x = _mv(fac_ref[oR:oR + 1], b)
     for lvm, shp, b_odd in zip(reversed(meta['levels']), reversed(levels),
                                reversed(stack)):
         n2 = shp['n2']
@@ -117,13 +120,54 @@ def _cr_solve_inkernel(fac, meta, levels, b, s, chunk):
         oD, nD = lvm['Dinv_odd']
         oLe, nLe = lvm['L_even']
         oLl, nLl = lvm['L_left']
-        r = b_odd - _mv(fac[oLe:oLe + nLe], x)
+        r = b_odd - _mv(fac_ref[oLe:oLe + nLe], x)
         if nLl:
-            up = _mvT(fac[oLl:oLl + nLl], x[1:1 + nLl])
+            up = _mvT(fac_ref[oLl:oLl + nLl], x[1:1 + nLl])
             r = jnp.concatenate([r[:nLl] - up, r[nLl:]], axis=0)
-        x_odd = _mv(fac[oD:oD + nD], r)
+        x_odd = _mv(fac_ref[oD:oD + nD], r)
         x = jnp.stack([x, x_odd], axis=1).reshape(2 * n2, s, chunk)
     return x[:nb0]
+
+
+def _cr_solve_only_kernel(cfg, meta, levels, fac_ref, b_ref, x_ref):
+    """Standalone cyclic-reduction solve: collapses the ~32-op XLA CR
+    tree (the round-3 banded engine's launch-bound core) into one
+    launch.  b arrives (nb, s, chunk) with instances on the lanes."""
+    s, chunk = cfg
+    x_ref[:] = _cr_solve_inkernel(fac_ref, meta, levels, b_ref[:], s,
+                                  chunk)
+
+
+def cr_solve_pallas(fac_packed, meta, b, block_b: int = 128,
+                    interpret=False):
+    """Shared-factor CR solve for a batch of RHS: fac_packed
+    (NB_TOT, s, s) from ops/banded_grouped.pack_cr_levels; b (nb, s, B).
+    Returns x (nb, s, B).  One grid step per 128-lane instance block."""
+    nb, s, B = b.shape
+    dtype = b.dtype
+    nb_tot = fac_packed.shape[0]
+    Bp = -(-B // block_b) * block_b
+    if Bp != B:
+        b = jnp.concatenate(
+            [b, jnp.zeros((nb, s, Bp - B), dtype)], axis=2)
+    levels = cr_level_shapes(nb)
+    kern = functools.partial(_cr_solve_only_kernel, (s, block_b), meta,
+                             levels)
+    x = pl.pallas_call(
+        kern,
+        grid=(Bp // block_b,),
+        in_specs=[pl.BlockSpec((nb_tot, s, s), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nb, s, block_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb, s, block_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, s, Bp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(fac_packed, b)
+    return x[:, :, :B]
 
 
 def _banded_shared_kernel(cfg, meta, levels,
@@ -136,44 +180,29 @@ def _banded_shared_kernel(cfg, meta, levels,
     (chunk, nb, s, r_max, sigma, alpha, eps_abs, eps_rel,
      check_interval, kkt_refine) = cfg
 
-    fac = fac_ref[:]
-    B0 = b0_ref[:]                       # (nb, r_max, s)
-    B1 = b1_ref[:]
-    D_P = dp_ref[:]                      # (nb, s, s)
-    L_P = lp_ref[:]                      # (nb - 1, s, s)
-    D_M = dm_ref[:]
-    L_M = lm_ref[:]
-    # shared scale/rho vectors arrive 2D; the trailing broadcast axis is
-    # added once here (per launch, not per iteration)
-    Dsc = dsc_ref[:][:, :, None]         # (nb, s, 1)
-    E_inv = einv_ref[:][:, :, None]      # (nb, r_max, 1), pads 0
-    E = esc_ref[:][:, :, None]
-    rho = rho_ref[:][:, :, None]         # (nb, r_max, 1), pads 1
+    # NOTE on liveness: every shared tensor is read from its REF inside
+    # the helper that consumes it.  Loading them once at kernel entry
+    # keeps the values live across the whole fori_loop and the Mosaic
+    # register allocator spills them -- measured 463MB of spill slots on
+    # the charging T=1440 shape, 5x the v5e VMEM.
     cinv = scal_ref[0, 0]
-    qs = q_ref[:]                        # (nb, s, chunk)
-    ls = l_ref[:]                        # (nb, r_max, chunk)
-    us = u_ref[:]
-    dtype = qs.dtype
-    D_inv = 1.0 / Dsc
+    dtype = q_ref.dtype
 
     zero_blk = jnp.zeros((1, s, chunk), dtype)
 
+    def rho3():
+        return rho_ref[:][:, :, None]    # (nb, r_max, 1), pads 1
+
     def Av(xb, x_hi):
         # (nb, r_max, chunk) <- windowed A; xb = x blocks, x_hi = shifted
-        acc = (B0[:, :, 0][:, :, None] * xb[:, 0][:, None, :]
-               + B1[:, :, 0][:, :, None] * x_hi[:, 0][:, None, :])
-        for i in range(1, s):
-            acc = acc + (B0[:, :, i][:, :, None] * xb[:, i][:, None, :]
-                         + B1[:, :, i][:, :, None] * x_hi[:, i][:, None, :])
-        return acc
+        t = (b0_ref[:][:, :, :, None] * xb[:, None, :, :]
+             + b1_ref[:][:, :, :, None] * x_hi[:, None, :, :])
+        return jnp.sum(t, axis=2)
 
     def Atv(v):
         # (nb, s, chunk) <- A' v with the B1 half shifted down one block
-        lo = B0[:, 0, :][:, :, None] * v[:, 0][:, None, :]
-        hi = B1[:, 0, :][:, :, None] * v[:, 0][:, None, :]
-        for r in range(1, r_max):
-            lo = lo + B0[:, r, :][:, :, None] * v[:, r][:, None, :]
-            hi = hi + B1[:, r, :][:, :, None] * v[:, r][:, None, :]
+        lo = jnp.sum(b0_ref[:][:, :, :, None] * v[:, :, None, :], axis=1)
+        hi = jnp.sum(b1_ref[:][:, :, :, None] * v[:, :, None, :], axis=1)
         return jnp.concatenate(
             [lo[:1], lo[1:] + hi[:nb - 1]], axis=0)
 
@@ -181,29 +210,31 @@ def _banded_shared_kernel(cfg, meta, levels,
         # x_{g+1} aligned at g (last block sees zeros)
         return jnp.concatenate([xb[1:], zero_blk], axis=0)
 
-    def bt_mv(Db, Lb, xb):
-        # block-tridiagonal matvec with shared (D, L) blocks
-        y = _mv(Db, xb)
-        lo = _mv(Lb, xb[:-1])
-        up = _mvT(Lb, xb[1:])
+    def bt_mv(d_ref2, l_ref2, xb):
+        # block-tridiagonal matvec with shared (D, L) block refs
+        y = _mv(d_ref2[:], xb)
+        lo = _mv(l_ref2[:], xb[:-1])
+        up = _mvT(l_ref2[:], xb[1:])
         y = jnp.concatenate([y[:1], y[1:] + lo], axis=0)
         return jnp.concatenate([y[:-1] + up, y[-1:]], axis=0)
 
     def kkt_solve(rhs):
-        xt = _cr_solve_inkernel(fac, meta, levels, rhs, s, chunk)
+        xt = _cr_solve_inkernel(fac_ref, meta, levels, rhs, s, chunk)
         for _ in range(kkt_refine):
-            r = rhs - bt_mv(D_M, L_M, xt)
-            xt = xt + _cr_solve_inkernel(fac, meta, levels, r, s, chunk)
+            r = rhs - bt_mv(dm_ref, lm_ref, xt)
+            xt = xt + _cr_solve_inkernel(fac_ref, meta, levels, r, s,
+                                         chunk)
         return xt
 
     def one_iter(_, carry):
         x, z, y = carry
-        rhs = sigma * x - qs + Atv(rho * z - y)
+        rho = rho3()
+        rhs = sigma * x - q_ref[:] + Atv(rho * z - y)
         xt = kkt_solve(rhs)
         zt = Av(xt, shift_up(xt))
         x1 = alpha * xt + (1.0 - alpha) * x
         w = alpha * zt + (1.0 - alpha) * z + y / rho
-        z1 = jnp.clip(w, ls, us)
+        z1 = jnp.clip(w, l_ref[:], u_ref[:])
         y1 = rho * (w - z1)
         return x1, z1, y1
 
@@ -229,26 +260,30 @@ def _banded_shared_kernel(cfg, meta, levels,
         return jnp.max(jnp.max(jnp.abs(v), axis=0, keepdims=True),
                        axis=1, keepdims=True)
 
+    E_inv = einv_ref[:][:, :, None]      # (nb, r_max, 1), pads 0
+    D_inv = 1.0 / dsc_ref[:][:, :, None]
+
     Ax = Av(x, shift_up(x))
-    Px = bt_mv(D_P, L_P, x)
     Aty = Atv(y)
     rp = inf_norm_rows(E_inv * (Ax - z))
     rp_den = jnp.maximum(inf_norm_rows(E_inv * Ax),
                          inf_norm_rows(E_inv * z))
-    rd = cinv * inf_norm_x(D_inv * (Px + qs + Aty))
+    rd = cinv * inf_norm_x(D_inv * (bt_mv(dp_ref, lp_ref, x) + q_ref[:]
+                                    + Aty))
     rd_den = cinv * jnp.maximum(
-        jnp.maximum(inf_norm_x(D_inv * Px), inf_norm_x(D_inv * Aty)),
-        inf_norm_x(D_inv * qs))
+        jnp.maximum(inf_norm_x(D_inv * bt_mv(dp_ref, lp_ref, x)),
+                    inf_norm_x(D_inv * Aty)),
+        inf_norm_x(D_inv * q_ref[:]))
     ok = ((rp <= eps_abs + eps_rel * rp_den)
           & (rd <= eps_abs + eps_rel * rd_den))
 
     # infeasibility certificates (OSQP section 3.4) on the chunk deltas
-    Adx = Av(dx, shift_up(dx))
-    Pdx = bt_mv(D_P, L_P, dx)
-    Atdy = Atv(dy)
+    E = esc_ref[:][:, :, None]
     eps_inf = jnp.asarray(1e-4, dtype)
     dy_n = inf_norm_rows(E * dy) * cinv
-    cert_p1 = inf_norm_x(D_inv * Atdy) * cinv <= eps_inf * dy_n
+    cert_p1 = inf_norm_x(D_inv * Atv(dy)) * cinv <= eps_inf * dy_n
+    us = u_ref[:]
+    ls = l_ref[:]
     u_fin = jnp.where(us < _INF * 0.5, us * E_inv, 0.0)
     l_fin = jnp.where(ls > -_INF * 0.5, ls * E_inv, 0.0)
     sup = jnp.sum(jnp.sum(u_fin * jnp.maximum(E * dy, 0.0)
@@ -265,9 +300,11 @@ def _banded_shared_kernel(cfg, meta, levels,
     p_inf = ((dy_n > 1e-10) & cert_p1 & (sup <= -eps_inf * dy_n)
              & ~open_dir)
 
-    dx_n = inf_norm_x(Dsc * dx)
-    cert_d1 = inf_norm_x(D_inv * Pdx) * cinv <= eps_inf * dx_n
-    cert_d2 = (jnp.sum(jnp.sum(qs * dx, axis=0, keepdims=True),
+    Adx = Av(dx, shift_up(dx))
+    dx_n = inf_norm_x(dsc_ref[:][:, :, None] * dx)
+    cert_d1 = (inf_norm_x(D_inv * bt_mv(dp_ref, lp_ref, dx)) * cinv
+               <= eps_inf * dx_n)
+    cert_d2 = (jnp.sum(jnp.sum(q_ref[:] * dx, axis=0, keepdims=True),
                        axis=1, keepdims=True) * cinv
                <= -eps_inf * dx_n)
     up_ok = u_open | (E_inv * Adx <= eps_inf * dx_n)

@@ -232,3 +232,167 @@ def ldl_solve_pallas(fac, b, block_b: int = 128, interpret=False):
         interpret=interpret,
     )(Lp, dp, Linvp, bp)
     return x[:B, :N]
+
+
+# ---------------------------------------------------------------------------
+# lane-batched fused factor + explicit inverse
+# ---------------------------------------------------------------------------
+
+def _factor_inverse_kernel(cfg, k_ref, kinv_ref, l_scr, linv_scr, d_scr):
+    """Lane-batched LDL^T + explicit inverse of the regularized K.
+
+    Layout: instances ride the 128 LANES -- K arrives (Np, Np, bb).  The
+    per-instance-batched kernel (_factor_kernel) issues its ~2.3k small
+    ops once per 32-instance grid step; here the same instruction stream
+    covers a full 128-lane block, so per-instance instruction cost drops
+    ~4x, and the inverse build (the XLA ldl_inverse's ~70 launch-bound
+    ops) fuses into the same launch.  Every product is a static FMA loop
+    over the panel index (batched (p, p) shapes have no MXU routing);
+    indexing is slice-only (Mosaic rejects integer middle-axis gathers);
+    K's SYMMETRY supplies every needed row/column transpose for free
+    during elimination.
+
+    Phase 1 factors IN PLACE in kinv_ref (the trailing matrix); phase 2
+    rebuilds kinv_ref as the inverse via the two panel sweeps.  Reads
+    come from refs at use sites (register-allocator spill discipline,
+    see ops/banded_shared_kernel.py)."""
+    p, nbp, signs, delta = cfg
+    Np = p * nbp
+    dtype = k_ref.dtype
+    bb = k_ref.shape[2]
+    row_p = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+    col_p = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
+
+    kinv_ref[:] = k_ref[:]
+
+    for k in range(nbp):
+        o = k * p
+        P = kinv_ref[o:o + p, o:o + p, :]              # (p, p, bb)
+        L11 = jnp.zeros((p, p, bb), dtype)
+        d1c = jnp.zeros((p, 1, bb), dtype)             # column layout
+        d1r = jnp.zeros((1, p, bb), dtype)             # row layout
+        for j in range(p):
+            sj = float(signs[o + j])
+            dj = P[j:j + 1, j:j + 1, :]                # (1, 1, bb)
+            dj = sj * jnp.maximum(sj * dj, delta)
+            col = jnp.where(row_p > j, P[:, j:j + 1, :] / dj, 0.0)
+            # P stays symmetric through the elimination, so row j IS
+            # column j -- no transpose needed for the outer product
+            row = jnp.where(col_p > j, P[j:j + 1, :, :] / dj, 0.0)
+            L11 = L11 + col * (col_p == j).astype(dtype)
+            d1c = d1c + dj * (row_p == j).astype(dtype)
+            d1r = d1r + dj * (col_p == j).astype(dtype)
+            P = P - dj * col * row
+        # unit-lower panel inverse by forward substitution:
+        # Linv row i = e_i - sum_{j<i} L11[i, j] * (Linv row j)
+        Linv = jnp.zeros((p, p, bb), dtype)
+        for i in range(p):
+            acc = jnp.broadcast_to(
+                (col_p == i).astype(dtype), (1, p, bb))
+            for j in range(i):
+                acc = acc - L11[i:i + 1, j:j + 1, :] * Linv[j:j + 1, :, :]
+            Linv = Linv + acc * (row_p == i).astype(dtype)
+        linv_scr[o:o + p, :, :] = Linv
+        d_scr[o:o + p, :] = d1c.reshape(p, bb)
+        rest = Np - o - p
+        if rest > 0:
+            # Minv = L11'^{-1} D1^{-1}  (columns scaled by 1/d)
+            Minv = jnp.swapaxes(Linv, 0, 1) / d1r
+            A21 = kinv_ref[o + p:, o:o + p, :]         # (rest, p, bb)
+            L21 = A21[:, 0:1, :] * Minv[0:1, :, :]
+            for j in range(1, p):
+                L21 = L21 + A21[:, j:j + 1, :] * Minv[j:j + 1, :, :]
+            l_scr[o + p:, o:o + p, :] = L21
+            W = L21 * d1r                              # L21 D1
+            L21T = jnp.swapaxes(L21, 0, 1)             # (p, rest, bb)
+            tr = kinv_ref[o + p:, o + p:, :]
+            for j in range(p):
+                tr = tr - W[:, j:j + 1, :] * L21T[j:j + 1, :, :]
+            kinv_ref[o + p:, o + p:, :] = tr
+
+    # ---- phase 2: inverse build (two panel sweeps on I) ----------------
+    eye_np = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np, 1), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (Np, Np, 1), 1)
+              ).astype(dtype)
+    kinv_ref[:] = jnp.broadcast_to(eye_np, (Np, Np, bb))
+    # forward: L Z = I, panel by panel
+    for k in range(nbp):
+        o = k * p
+        Linv = linv_scr[o:o + p, :, :]                 # (p, p, bb)
+        R = kinv_ref[o:o + p, :, :]                    # (p, Np, bb)
+        Zk = Linv[:, 0:1, :] * R[0:1, :, :]
+        for j in range(1, p):
+            Zk = Zk + Linv[:, j:j + 1, :] * R[j:j + 1, :, :]
+        kinv_ref[o:o + p, :, :] = Zk
+        rest = Np - o - p
+        if rest > 0:
+            L21 = l_scr[o + p:, o:o + p, :]            # (rest, p, bb)
+            Rl = kinv_ref[o + p:, :, :]
+            for j in range(p):
+                Rl = Rl - L21[:, j:j + 1, :] * Zk[j:j + 1, :, :]
+            kinv_ref[o + p:, :, :] = Rl
+    # diagonal: W = D^{-1} Z
+    d_all = d_scr[:]                                   # (Np, bb)
+    kinv_ref[:] = kinv_ref[:] / d_all[:, None, :]
+    # backward: L' X = W, reversed panels; Xk[i] = sum_j Linv[j, i] W[j]
+    for k in reversed(range(nbp)):
+        o = k * p
+        LinvT = jnp.swapaxes(linv_scr[o:o + p, :, :], 0, 1)
+        Wk = kinv_ref[o:o + p, :, :]
+        Xk = LinvT[:, 0:1, :] * Wk[0:1, :, :]
+        for j in range(1, p):
+            Xk = Xk + LinvT[:, j:j + 1, :] * Wk[j:j + 1, :, :]
+        kinv_ref[o:o + p, :, :] = Xk
+        if o:
+            # rows above the panel: subtract (L[o:o+p, :o])' Xk
+            LkT = jnp.swapaxes(l_scr[o:o + p, :o, :], 0, 1)  # (o, p, bb)
+            Ru = kinv_ref[:o, :, :]
+            for j in range(p):
+                Ru = Ru - LkT[:, j:j + 1, :] * Xk[j:j + 1, :, :]
+            kinv_ref[:o, :, :] = Ru
+
+
+def ldl_factor_inverse_pallas(K, signs, dyn_delta, panel: int = 16,
+                              block_b: int = 128, interpret=False):
+    """Lane-batched fused LDL factor + explicit inverse: K (B, N, N) ->
+    Kinv (B, N, N) of the pivot-regularized K.  Replaces
+    ldl_factor_pallas + ldl_inverse on TPU (one launch, ~4x fewer
+    per-instance instruction issues)."""
+    import numpy as np
+    B, N, _ = K.shape
+    dtype = K.dtype
+    p = min(panel, N)
+    nbp = -(-N // p)
+    Np = nbp * p
+    signs = np.concatenate([np.asarray(signs, float), np.ones(Np - N)])
+    if Np != N:
+        Kp = jnp.zeros((B, Np, Np), dtype)
+        Kp = Kp.at[:, :N, :N].set(K)
+        Kp = Kp.at[:, jnp.arange(N, Np), jnp.arange(N, Np)].set(1.0)
+        K = Kp
+    Bp = -(-B // block_b) * block_b
+    KT = jnp.transpose(K, (1, 2, 0))                  # (Np, Np, B)
+    if Bp != B:
+        KT = jnp.concatenate(
+            [KT, jnp.broadcast_to(
+                jnp.eye(Np, dtype=dtype)[:, :, None],
+                (Np, Np, Bp - B))], axis=2)
+    grid = (Bp // block_b,)
+    cfg = (p, nbp, tuple(float(s) for s in signs), float(dyn_delta))
+    kern = functools.partial(_factor_inverse_kernel, cfg)
+    KinvT = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((Np, Np, block_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Np, Np, block_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Np, Bp), dtype),
+        scratch_shapes=[pltpu.VMEM((Np, Np, block_b), dtype),
+                        pltpu.VMEM((Np, p, block_b), dtype),
+                        pltpu.VMEM((Np, block_b), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(KT)
+    return jnp.transpose(KinvT[:, :, :B], (2, 0, 1))[:, :N, :N]

@@ -222,15 +222,6 @@ class CompiledBandedQPSolver:
             self.struct.a_row, self.struct.a_col, family.m,
             self.struct.s, self.struct.nb)
         self._pa_mask = pa_theta_mask(family)
-        # the fused kernel must fit VMEM at SOME chunk size; otherwise
-        # stay on the per-instance engine
-        if self.grouped is not None:
-            from ..ops.banded_shared_kernel import (estimate_nb_tot,
-                                                    pick_banded_chunk)
-            if pick_banded_chunk(4096, self.struct.nb, self.struct.s,
-                                 self.grouped.r_max,
-                                 estimate_nb_tot(self.struct.nb)) is None:
-                self.grouped = None
         if self.grouped is not None:
             self._solve_shared_jit = jax.jit(
                 functools.partial(_banded_qp_solve_shared_raw,

@@ -90,10 +90,241 @@ def admm_solve_banded_shared(st: BandedStructure, ga: GroupedA,
                              interpret=False):
     """Solve a batch sharing canonical P/A.  pvals/avals (nnz,) SHARED
     values; q (B, n), l/u (B, m) batched.  Same contract as
-    admm_banded.admm_solve_banded."""
+    admm_banded.admm_solve_banded.
+
+    Two engines, picked by problem size (the Mosaic register allocator
+    gives vector values essentially NO spill-slot reuse, so a fused
+    kernel's TOTAL per-body value bytes must fit VMEM -- measured
+    ~0.85MB x nb of spill slots, i.e. the fused chunk kernel only
+    compiles up to nb ~ 96):
+    - small nb: the fully fused chunk kernel (banded_shared_chunk);
+    - large nb: the XLA iteration loop with the CR solve collapsed into
+      ONE launch per application (cr_solve_pallas) -- the ~32-op CR
+      tree was the round-3 engine's dominant launch cost."""
     with jax.default_matmul_precision('highest'):
-        return _impl(st, ga, pvals, q, avals, l, u, n_eq, settings,
-                     x0, y0, interpret)
+        if st.nb <= 96:
+            return _impl(st, ga, pvals, q, avals, l, u, n_eq, settings,
+                         x0, y0, interpret)
+        return _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, settings,
+                         x0, y0, interpret)
+
+
+def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
+              interpret):
+    """Shared-P/A banded ADMM: XLA loop + one-launch CR solves."""
+    from ..ops.banded_shared_kernel import cr_solve_pallas
+
+    B = q.shape[0]
+    dtype = q.dtype
+    n, m, n_pad, s, nb = st.n, st.m, st.n_pad, st.s, st.nb
+    order = jnp.asarray(st.order)
+    pos = jnp.asarray(st.pos)
+    p_row = jnp.asarray(st.p_row)
+    p_col = jnp.asarray(st.p_col)
+    a_row = jnp.asarray(st.a_row)
+    a_col = jnp.asarray(st.a_col)
+
+    l = jnp.clip(l, -_INF, _INF)
+    u = jnp.clip(u, -_INF, _INF)
+
+    qp = jnp.concatenate(
+        [q[:, order], jnp.zeros((B, n_pad - n), dtype)], axis=1)
+    q_env = jnp.max(jnp.abs(qp), axis=0)
+    pvals, avals, c, D, E = ruiz_banded_shared(
+        st, pvals, avals, q_env, stg.scaling)
+    qp = qp * D[None, :] * c
+    ls = l * E[None, :]
+    us = u * E[None, :]
+    c_inv = 1.0 / c
+    D_inv = 1.0 / D
+    E_inv = 1.0 / E
+
+    is_eq = np.arange(m) < n_eq
+    rho_base = jnp.asarray(
+        np.where(is_eq, stg.rho * stg.rho_eq_scale, stg.rho), dtype)
+
+    def Av(x):                       # (B, n_pad) -> (B, m)
+        return jax.ops.segment_sum((avals[None] * x[:, a_col]).T, a_row,
+                                   num_segments=m).T
+
+    def Atv(y):
+        return jax.ops.segment_sum((avals[None] * y[:, a_row]).T, a_col,
+                                   num_segments=n_pad).T
+
+    def Pv(x):
+        return jax.ops.segment_sum((pvals[None] * x[:, p_col]).T, p_row,
+                                   num_segments=n_pad).T
+
+    def factor(rho_vec):
+        D_M, L_M = assemble_banded_M(st, pvals[None], avals[None],
+                                     rho_vec[None], stg.sigma, dtype)
+        fac = cr_factor(D_M, L_M)
+        packed, meta = pack_cr_levels(fac)
+        return packed, meta, D_M[0], L_M[0]
+
+    fac0, meta, D_M0, L_M0 = factor(rho_base)
+
+    def kkt_apply(packed, D_M, L_M, rhs):
+        rhs3 = jnp.transpose(rhs.reshape(B, nb, s), (1, 2, 0))
+        xt = jnp.transpose(
+            cr_solve_pallas(packed, meta, rhs3, interpret=interpret),
+            (2, 0, 1)).reshape(B, n_pad)
+        for _ in range(stg.kkt_refine):
+            Mx = (jnp.einsum('nij,bnj->bni', D_M, xt.reshape(B, nb, s))
+                  .reshape(B, n_pad))
+            xt3 = xt.reshape(B, nb, s)
+            lo = jnp.einsum('nij,bnj->bni', L_M, xt3[:, :-1])
+            up = jnp.einsum('nji,bnj->bni', L_M, xt3[:, 1:])
+            Mx = Mx.at[:, s:].add(lo.reshape(B, -1))
+            Mx = Mx.at[:, :-s].add(up.reshape(B, -1))
+            r3 = jnp.transpose((rhs - Mx).reshape(B, nb, s), (1, 2, 0))
+            xt = xt + jnp.transpose(
+                cr_solve_pallas(packed, meta, r3, interpret=interpret),
+                (2, 0, 1)).reshape(B, n_pad)
+        return xt
+
+    if x0 is not None:
+        x0p = jnp.concatenate(
+            [x0.astype(dtype)[:, order], jnp.zeros((B, n_pad - n), dtype)],
+            axis=1)
+        x_init = D_inv[None, :] * x0p
+        z_init = Av(x_init)
+    else:
+        x_init = jnp.zeros((B, n_pad), dtype)
+        z_init = jnp.zeros((B, m), dtype)
+    y_init = (c * E_inv[None, :] * y0.astype(dtype)
+              if y0 is not None else jnp.zeros((B, m), dtype))
+
+    def one_iter(carry, packed, D_M, L_M, rho_vec):
+        x, z, y = carry
+        rhs = stg.sigma * x - qp + Atv(rho_vec[None, :] * z - y)
+        xt = kkt_apply(packed, D_M, L_M, rhs)
+        zt = Av(xt)
+        x1 = stg.alpha * xt + (1 - stg.alpha) * x
+        w = stg.alpha * zt + (1 - stg.alpha) * z + y / rho_vec[None, :]
+        z1 = jnp.clip(w, ls, us)
+        y1 = rho_vec[None, :] * (w - z1)
+        return x1, z1, y1
+
+    def _inf_norm(v):
+        return jnp.max(jnp.abs(v), axis=-1)
+
+    def residuals(x, z, y, Ax, Px, Aty):
+        rp = _inf_norm(E_inv[None, :] * (Ax - z))
+        rp_den = jnp.maximum(_inf_norm(E_inv[None, :] * Ax),
+                             _inf_norm(E_inv[None, :] * z))
+        rd = c_inv * _inf_norm(D_inv[None, :] * (Px + qp + Aty))
+        rd_den = c_inv * jnp.maximum(
+            jnp.maximum(_inf_norm(D_inv[None, :] * Px),
+                        _inf_norm(D_inv[None, :] * Aty)),
+            _inf_norm(D_inv[None, :] * qp))
+        ok = ((rp <= stg.eps_abs + stg.eps_rel * rp_den)
+              & (rd <= stg.eps_abs + stg.eps_rel * rd_den))
+        return rp, rd, rp_den, rd_den, ok
+
+    def infeasibility(dx, dy, Pdx, Adx, Atdy):
+        eps = jnp.asarray(1e-4, dtype)
+        dy_n = _inf_norm(E[None, :] * dy) * c_inv
+        cert_p1 = _inf_norm(D_inv[None, :] * Atdy) * c_inv <= eps * dy_n
+        u_fin = jnp.where(us < _INF * 0.5, us * E_inv[None, :], 0.0)
+        l_fin = jnp.where(ls > -_INF * 0.5, ls * E_inv[None, :], 0.0)
+        sup = jnp.sum(u_fin * jnp.maximum(E[None, :] * dy, 0.0)
+                      + l_fin * jnp.minimum(E[None, :] * dy, 0.0),
+                      axis=1) * c_inv
+        open_dir = (jnp.any((dy > 1e-12) & (us >= _INF * 0.5), axis=1)
+                    | jnp.any((dy < -1e-12) & (ls <= -_INF * 0.5), axis=1))
+        prim_inf = ((dy_n > 1e-10) & cert_p1 & (sup <= -eps * dy_n)
+                    & ~open_dir)
+        dx_n = _inf_norm(D[None, :] * dx)
+        cert_d1 = _inf_norm(D_inv[None, :] * Pdx) * c_inv <= eps * dx_n
+        cert_d2 = (jnp.einsum('bi,bi->b', qp, dx) * c_inv) <= -eps * dx_n
+        up_ok = jnp.where(us >= _INF * 0.5, True,
+                          E_inv[None, :] * Adx <= eps * dx_n[:, None])
+        lo_ok = jnp.where(ls <= -_INF * 0.5, True,
+                          E_inv[None, :] * Adx >= -eps * dx_n[:, None])
+        dual_inf = ((dx_n > 1e-10) & cert_d1 & cert_d2
+                    & jnp.all(up_ok & lo_ok, axis=1))
+        return prim_inf, dual_inf
+
+    check = stg.check_interval
+    max_iter = (stg.max_iter // check) * check
+    adaptive = stg.adaptive_rho
+
+    def cond(state):
+        it, done = state[7], state[8]
+        return (~jnp.all(done)) & (it < max_iter)
+
+    def body(state):
+        (x, z, y, rho_scale, packed, D_M, L_M, it, done, it_vec,
+         rp_l, rd_l, status) = state
+        rho_vec = rho_base * rho_scale
+
+        def inner(_, carry):
+            return one_iter(carry, packed, D_M, L_M, rho_vec)
+        xn, zn, yn = jax.lax.fori_loop(0, check, inner, (x, z, y))
+        mask = done[:, None]
+        dx = jnp.where(mask, 0.0, xn - x)
+        dy = jnp.where(mask, 0.0, yn - y)
+        x = jnp.where(mask, x, xn)
+        z = jnp.where(mask, z, zn)
+        y = jnp.where(mask, y, yn)
+        it = it + check
+        rp, rd, rp_den, rd_den, ok = residuals(x, z, y, Av(x), Pv(x),
+                                               Atv(y))
+        p_inf, d_inf = infeasibility(dx, dy, Pv(dx), Av(dx), Atv(dy))
+        newly = ok & (~done)
+        it_vec = jnp.where(newly, it, it_vec)
+        status = jnp.where(ok & (status == 0), 1, status)
+        status = jnp.where(p_inf & (status == 0), -3, status)
+        status = jnp.where(d_inf & (status == 0), -4, status)
+        done = done | ok | p_inf | d_inf
+
+        if adaptive:
+            ratio = jnp.sqrt(
+                (rp / jnp.maximum(rp_den, 1e-10))
+                / jnp.maximum(rd / jnp.maximum(rd_den, 1e-10), 1e-10))
+            active = ~done
+            log_r = jnp.where(active,
+                              jnp.log(jnp.clip(ratio, 1e-6, 1e6)), 0.0)
+            n_act = jnp.maximum(jnp.sum(active), 1)
+            comb = jnp.exp(jnp.sum(log_r) / n_act)
+            tol = stg.adaptive_rho_tolerance
+            change = ((comb > tol) | (comb < 1.0 / tol)) & jnp.any(active)
+            step_f = jnp.clip(jnp.where(change, comb, 1.0), 0.1, 10.0)
+            new_scale = jnp.clip(rho_scale * step_f, 1e-6, 1e6)
+
+            def refactor(_):
+                pk, _m, dm, lm = factor(rho_base * new_scale)
+                return pk, dm, lm
+
+            packed, D_M, L_M = jax.lax.cond(
+                change, refactor, lambda _: (packed, D_M, L_M),
+                operand=None)
+            rho_scale = new_scale
+
+        return (x, z, y, rho_scale, packed, D_M, L_M, it, done, it_vec,
+                rp, rd, status)
+
+    state0 = (x_init, z_init, y_init, jnp.ones((), dtype), fac0,
+              D_M0, L_M0, jnp.int32(0),
+              jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.int32),
+              jnp.full((B,), jnp.inf, dtype), jnp.full((B,), jnp.inf, dtype),
+              jnp.zeros((B,), jnp.int32))
+    (x, z, y, _, _, _, _, it, done, it_vec, rp, rd,
+     status) = jax.lax.while_loop(cond, body, state0)
+    it_vec = jnp.where(done, it_vec, it)
+
+    x_u = (D[None, :] * x)[:, pos]
+    z_u = E_inv[None, :] * z
+    y_u = c_inv * E[None, :] * y
+    obj = c_inv * (0.5 * jnp.sum(pvals[None] * x[:, p_row] * x[:, p_col],
+                                 axis=1)
+                   + jnp.einsum('bi,bi->b', qp, x))
+    obj = jnp.where(status == -3, jnp.inf, obj)
+    obj = jnp.where(status == -4, -jnp.inf, obj)
+    return dict(x=x_u, y=y_u, z=z_u, obj=obj, iters=it_vec,
+                pri_res=rp, dua_res=rd, solved=(status == 1),
+                status=status)
 
 
 def _impl(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0, interpret):

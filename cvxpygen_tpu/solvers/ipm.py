@@ -612,25 +612,43 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             from ..ops.ldl_batched import ldl_inverse
             signs = _np.concatenate([_np.ones(n), -_np.ones(mz + mc)])
             import os as _os
+            on_tpu_kernels = (jax.default_backend() == 'tpu'
+                              and _os.environ.get('CPG_LDL_PALLAS',
+                                                  '1') != '0')
             fac_is_pallas = False
-            if (jax.default_backend() == 'tpu'
-                    and _os.environ.get('CPG_LDL_PALLAS', '1') != '0'):
+            if on_tpu_kernels and st.ldl_inverse:
+                # lane-batched fused factor + inverse (ops/ldl_kernel.py
+                # _factor_inverse_kernel): one launch per 128-instance
+                # lane block replaces the per-32-instance factor kernel
+                # (34 ms at (1024, 176, 176)) AND the ~70 launch-bound
+                # XLA inverse-build ops -- round-4 exotic-IPM speedup
+                from ..ops.ldl_kernel import ldl_factor_inverse_pallas
+                dd = st.ldl_dyn_delta or \
+                    float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
+                Kinv = ldl_factor_inverse_pallas(K, signs=signs,
+                                                 dyn_delta=dd)
+
+                def _ldl_solve(rhs):
+                    return jnp.einsum('bij,bj->bi', Kinv, rhs)
+
+                fac = None
+            elif on_tpu_kernels:
                 # fused one-kernel factorization (ops/ldl_kernel.py): the
-                # XLA lowering is launch-bound on TPU
+                # XLA lowering is launch-bound on TPU.  block_b capped at
+                # 32: Mosaic hangs compiling this kernel with larger VMEM
+                # blocks (measured: bb=64/128/256 never finish)
                 from ..ops.ldl_kernel import ldl_factor_pallas
                 dd = st.ldl_dyn_delta or \
                     float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
-                # block_b capped at 32: Mosaic hangs compiling this
-                # kernel with larger VMEM blocks (measured: bb=64/128/256
-                # never finish; bb=32 compiles in ~20 s and factors
-                # (1024, 176, 176) in 34 ms)
                 fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd,
                                         block_b=min(32, B))
                 fac_is_pallas = True
             else:
                 fac = ldl_factor(K, signs=signs,
                                  dyn_delta=st.ldl_dyn_delta or None)
-            if st.ldl_inverse:
+            if fac is None:
+                pass                     # fused Kinv path above
+            elif st.ldl_inverse:
                 # one multi-RHS sweep builds the explicit inverse of the
                 # REGULARIZED K (MXU GEMMs); each subsequent solve is a
                 # single einsum.  cond(K') is capped by the dynamic pivot

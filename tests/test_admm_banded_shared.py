@@ -131,3 +131,25 @@ def test_shared_vs_oracle(shared_setup):
         res, _ = solve_family_numpy(s['fam'], s['theta'][i])
         obj = float(np.asarray(got['obj'])[i])
         assert abs(obj - res.obj) / max(1.0, abs(res.obj)) < 1e-2
+
+
+def test_crk_engine_matches_per_instance(shared_setup):
+    """Large-nb engine (_impl_crk: XLA loop + one-launch CR solves,
+    interpret mode) == per-instance banded path on a shared batch."""
+    import jax
+    from cvxpygen_tpu.solvers.admm_banded import admm_solve_banded
+    from cvxpygen_tpu.solvers import admm_banded_shared as abs_mod
+    s = shared_setup
+    stg = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000,
+                       check_interval=25, adaptive_rho=True)
+    data, l, u = s['data'], s['l'], s['u']
+    ref = admm_solve_banded(s['st'], data['pvals'], data['q'],
+                            data['avals'], l, u, s['mz'], stg)
+    with jax.default_matmul_precision('highest'):
+        got = abs_mod._impl_crk(
+            s['st'], s['ga'], data['pvals'][0], data['q'],
+            data['avals'][0], l, u, s['mz'], stg, None, None, True)
+    assert np.all(np.asarray(got['solved']))
+    np.testing.assert_allclose(np.asarray(got['obj']),
+                               np.asarray(ref['obj']),
+                               rtol=5e-3, atol=5e-3)

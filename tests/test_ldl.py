@@ -91,3 +91,38 @@ def test_ldl_inverse_matches_solve():
     Kinv = ldl_inverse(fac)
     x2 = np.einsum('bij,bj->bi', np.asarray(Kinv), b)
     np.testing.assert_allclose(x2, x1, rtol=1e-8, atol=1e-9)
+
+
+def test_factor_inverse_pallas_matches_xla():
+    """Lane-batched fused factor+inverse (interpret) == ldl_factor +
+    ldl_inverse on a quasidefinite KKT batch."""
+    import jax.numpy as jnp
+    from cvxpygen_tpu.ops.ldl_batched import ldl_factor, ldl_inverse
+    from cvxpygen_tpu.ops.ldl_kernel import ldl_factor_inverse_pallas
+    rng = np.random.default_rng(11)
+    B, n, mc = 4, 10, 14
+    N = n + mc
+    G = rng.standard_normal((B, mc, n))
+    Hs = rng.standard_normal((B, mc, mc)) * 0.3
+    H = np.einsum('bij,bkj->bik', Hs, Hs) + np.eye(mc)
+    K = np.zeros((B, N, N))
+    # well-conditioned quasidefinite: at the IPM's 1e-6-regularized
+    # conditioning, BOTH algorithms produce f32 inverses that differ at
+    # the ~1% level from each other (eps * cond), which is exactly what
+    # the caller's refinement absorbs -- the equivalence check needs a
+    # benign cond
+    K[:, :n, :n] = np.eye(n)
+    K[:, :n, n:] = -np.swapaxes(G, 1, 2)
+    K[:, n:, :n] = -G
+    K[:, n:, n:] = -H
+    signs = np.concatenate([np.ones(n), -np.ones(mc)])
+    Kj = jnp.asarray(K, jnp.float32)
+    dd = float(jnp.finfo(jnp.float32).eps) ** 0.5 * 0.1
+    fac = ldl_factor(Kj, signs=signs, dyn_delta=dd)
+    Kinv_ref = np.asarray(ldl_inverse(fac))
+    Kinv = np.asarray(ldl_factor_inverse_pallas(
+        Kj, signs=signs, dyn_delta=dd, block_b=4, interpret=True))
+    np.testing.assert_allclose(Kinv, Kinv_ref, rtol=2e-3, atol=2e-4)
+    # and it really inverts K (true f64 check)
+    R = np.eye(N) - np.einsum('bij,bjk->bik', K, Kinv.astype(np.float64))
+    assert np.abs(R).max() < 1e-3

@@ -185,3 +185,64 @@ def test_standalone_c_artifact_explicit(tmp_path):
     prob.solve(method='CPG')
     x_py = prob.var_dict['x'].value
     np.testing.assert_allclose(np.asarray(xs), x_py, atol=1e-4)
+
+
+def _entropy_problem(n=6, seed=5):
+    import cvxpygen_tpu as ct
+    rng = np.random.default_rng(seed)
+    x = ct.Variable(n, name='x')
+    c = ct.Parameter(n, name='c')
+    prob = ct.Problem(ct.Maximize(c @ x + ct.sum(ct.entr(x))),
+                      [ct.sum(x) == 1.0])
+    c.value = rng.normal(size=n)
+    return prob
+
+
+def test_native_exp_cone_vs_analytic():
+    """Exp-cone family through the C++ core (round-4 exp/pow projection
+    port): entropy-softmax objective matches the analytic logsumexp."""
+    from cvxpygen_tpu.native import NativeQPSolver
+    prob = _entropy_problem()
+    fam = canonicalize(prob)
+    assert fam.n_exp > 0
+    s = NativeQPSolver(fam)
+    s.set_settings(max_iter=20000, eps_abs=1e-5, eps_rel=1e-5)
+    theta = fam.pack_theta(params=prob.parameters())
+    out = s.solve(theta)
+    assert out['solved']
+    c = theta[:6]
+    ref = -float(np.log(np.sum(np.exp(c))))   # canonical min form
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    obj = out['obj'] + d
+    assert abs(obj - ref) < 1e-2 * max(1.0, abs(ref)), (obj, ref)
+
+
+def test_standalone_c_artifact_exp(tmp_path):
+    """`make && ./cpg_example` passes for an exp-cone family (VERDICT r3
+    item 6: the exotic-cone C artifact) and the per-parameter update
+    functions are emitted and exercised by the example."""
+    import re
+    import subprocess
+    from cvxpygen_tpu import cpg
+
+    prob = _entropy_problem()
+    code_dir = str(tmp_path / 'pkg_exp')
+    cpg.generate_code(prob, code_dir=code_dir, solver='SCS', wrapper=False)
+    cdir = tmp_path / 'pkg_exp' / 'c'
+    assert (cdir / 'cpg_example.c').exists()
+    fam_h = (cdir / 'cpg_family.h').read_text()
+    assert 'void cpg_update_c(' in fam_h
+    example = (cdir / 'cpg_example.c').read_text()
+    assert 'cpg_update_c(' in example
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True).stdout
+    m = re.search(r'obj = ([-\d.e+]+)', out)
+    assert m and 'status = 1' in out, out
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+    ref = -float(np.log(np.sum(np.exp(theta[:6]))))
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    assert abs(float(m.group(1)) + d - ref) < 2e-2 * max(1.0, abs(ref))
