@@ -228,3 +228,49 @@ def test_max_floats_cap(tmp_path):
         msgs = ' '.join(str(x.message) for x in w)
         assert 'max_floats' in msgs
     assert mod._runtime.data.n_regions <= 10
+
+
+def test_enumeration_completeness_power():
+    """Completeness certificate (VERDICT r3 item 7): at 10x the default
+    sample count, EVERY sampled theta is covered by a region whose tests
+    hold AND every oracle active set appears in the table -- no silent
+    nearest-region fallback."""
+    import cvxpygen_tpu as ct
+    from cvxpygen_tpu.canon.canonicalizer import canonicalize
+    from cvxpygen_tpu.solvers.explicit import (_active_set_at, _best_region,
+                                               enumerate_regions,
+                                               extract_mpqp,
+                                               measure_coverage)
+    C, D, h, Q = 1, 1, 0.05, 1
+    qtar, alpha, beta = 0.5, 0.1, 0.1
+    g = ct.Variable(name='g')
+    s = ct.Variable(name='s')
+    b = ct.Variable(name='b')
+    qplus = ct.Variable(name='qplus')
+    L = ct.Parameter(name='L')
+    S = ct.Parameter(name='S')
+    P = ct.Parameter(name='P')
+    q = ct.Parameter(name='q')
+    obj = P * g * h + alpha * (qplus - qtar) ** 2 + beta * b ** 2
+    constr = [L == s + b + g,
+              ct.Constant(0) <= s, s <= S, ct.Constant(-C) <= b, b <= D,
+              g >= 0, qplus == q - h * b, ct.Constant(0) <= qplus,
+              qplus <= Q, ct.Constant(0) <= L, L <= 1,
+              ct.Constant(0) <= S, S <= 0.5, ct.Constant(1) <= P, P <= 2,
+              ct.Constant(0) <= q, q <= Q]
+    L.value, S.value, P.value, q.value = 0.5, 0.3, 1.5, 0.5
+    prob = ct.Problem(ct.Minimize(obj), constr)
+    fam = canonicalize(prob)
+    mp = extract_mpqp(fam)
+    regions = enumerate_regions(mp, max_regions=500)
+    cov = measure_coverage(mp, regions, n_samples=10000, seed=1)
+    assert cov == 1.0, cov
+    table = {r.active for r in regions}
+    rng = np.random.default_rng(7)
+    pdim = len(mp.th_lb)
+    for _ in range(200):
+        th = mp.th_lb + (mp.th_ub - mp.th_lb) * rng.random(pdim)
+        assert _best_region(regions, th) is not None
+        Sa = _active_set_at(mp, th)
+        if Sa is not None:
+            assert tuple(sorted(Sa)) in table, Sa
