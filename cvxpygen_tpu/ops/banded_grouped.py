@@ -147,6 +147,7 @@ def pack_cr_levels(fac):
         entry[name] = (off, x2.shape[0])
         off += x2.shape[0]
 
+    ll_off = 0
     for lv in fac['levels']:
         entry = {}
         add('Dinv_odd', lv['Dinv_odd'], entry)
@@ -154,9 +155,26 @@ def pack_cr_levels(fac):
         add('C', lv['C'], entry)
         add('L_left', lv['L_left'], entry)
         add('L_even', lv['L_even'], entry)
+        # offset into the separate small UNtransposed L_left pack
+        # (pack_lleft): the iterate kernel's only transposed product
+        entry['lleft'] = ll_off
+        ll_off += lv['L_left'].shape[1]
         meta.append(entry)
     root = off
     parts.append(fac['root_inv'])
     off += 1
     packed = jnp.concatenate(parts, axis=0)
-    return packed, dict(levels=meta, root=root, total=off)
+    return packed, dict(levels=meta, root=root, total=off,
+                        lleft_total=ll_off)
+
+
+def pack_lleft(fac):
+    """Small pack of the UNtransposed L_left blocks, offsets from
+    pack_cr_levels meta['levels'][k]['lleft']."""
+    import jax.numpy as jnp
+    parts = [lv['L_left'][0] for lv in fac['levels']
+             if lv['L_left'].shape[1]]
+    if not parts:
+        s = fac['root_inv'].shape[-1]
+        return jnp.zeros((1, s, s), fac['root_inv'].dtype)
+    return jnp.concatenate(parts, axis=0)

@@ -325,7 +325,7 @@ def _banded_shared_kernel(cfg, meta, levels,
                     + 4 * d_inf.astype(jnp.int32))
 
 
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 107 * 1024 * 1024
 
 
 def pick_banded_chunk(B, nb, s, r_max, nb_tot, dtype=jnp.float32):
@@ -421,3 +421,260 @@ def banded_shared_chunk(fac_packed, meta, B0, B1, D_P, L_P, D_M, L_M,
     x_out, z, y, rp, rd, rp_den, rd_den, flags = outs
     return (x_out, z, y,
             rp[0, 0], rd[0, 0], rp_den[0, 0], rd_den[0, 0], flags[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# fused iterate kernel (large nb): fori-loop matvecs under the spill budget
+# ---------------------------------------------------------------------------
+
+def _mv_fori(facT_ref, off, cnt, scr_ref, s, chunk, dtype,
+             row0=0):
+    """CR block matvec out_i = sum_j M[i,j] v_j as a fori loop over a
+    SCRATCH-staged operand: the caller writes v into scr_ref[row0:row0+
+    cnt] first; per-term reads are dynamic REF slices (Mosaic has no
+    dynamic_slice on values) and the body keeps ONE live accumulator
+    (the register allocator gives vector values ~no spill-slot reuse,
+    so unrolled chains at nb~541 cost hundreds of MB of slots).  facT
+    stores TRANSPOSED blocks (facT[g, j, i] = M[g, i, j]) so the
+    contraction index rides the sublane dim."""
+
+    def body(j, acc):
+        Mj = jnp.swapaxes(facT_ref[off:off + cnt, pl.ds(j, 1), :], 1, 2)
+        vj = scr_ref[row0:row0 + cnt, pl.ds(j, 1), :]
+        return acc + Mj * vj
+
+    return jax.lax.fori_loop(0, s, body,
+                             jnp.zeros((cnt, s, chunk), dtype))
+
+
+def _cr_solve_fori(ll_ref, facT_ref, meta, levels, b, s1_ref, s, chunk):
+    """Cyclic-reduction solve with scratch-staged fori matvecs.  Every
+    matvec slices the TRANSPOSED packed factor (facT); the only
+    transposed product (L_left') reads a small dedicated pack of the
+    UNtransposed L_left blocks (ll_ref) so the full untransposed factor
+    never occupies VMEM."""
+    dtype = b.dtype
+    nb0 = b.shape[0]
+    stack = []
+    for lvm, shp in zip(meta['levels'], levels):
+        if shp['nb_pad'] != shp['nb_in']:
+            b = jnp.concatenate(
+                [b, jnp.zeros((1, s, chunk), dtype)], axis=0)
+        n2 = shp['n2']
+        b4 = b.reshape(n2, 2, s, chunk)
+        b_even = b4[:, 0]
+        b_odd = b4[:, 1]
+        oA, nA = lvm['A']
+        oC, nC = lvm['C']
+        s1_ref[0:n2] = b_odd
+        if nA:
+            bp_tail = b_even[1:] - _mv_fori(facT_ref, oA, nA, s1_ref,
+                                            s, chunk, dtype)
+            bp = jnp.concatenate([b_even[:1], bp_tail], axis=0)
+        else:
+            bp = b_even
+        bp = bp - _mv_fori(facT_ref, oC, nC, s1_ref, s, chunk, dtype)
+        stack.append(b_odd)
+        b = bp
+    oR = meta['root']
+    s1_ref[0:1] = b
+    x = _mv_fori(facT_ref, oR, 1, s1_ref, s, chunk, dtype)
+    for lvm, shp, b_odd in zip(reversed(meta['levels']), reversed(levels),
+                               reversed(stack)):
+        n2 = shp['n2']
+        x = x[:n2]
+        oD, nD = lvm['Dinv_odd']
+        oLe, nLe = lvm['L_even']
+        oLl, nLl = lvm['L_left']
+        s1_ref[0:n2] = x
+        r = b_odd - _mv_fori(facT_ref, oLe, nLe, s1_ref, s, chunk, dtype)
+        if nLl:
+            # L_left' x[1:]: transposed product reads the dedicated
+            # untransposed L_left pack (offsets from meta['lleft'])
+            oL2 = lvm['lleft']
+
+            def bodyT(j, acc, oL2=oL2, nLl=nLl):
+                Mj = jnp.swapaxes(
+                    ll_ref[oL2:oL2 + nLl, pl.ds(j, 1), :], 1, 2)
+                vj = s1_ref[1:1 + nLl, pl.ds(j, 1), :]
+                return acc + Mj * vj
+
+            up = jax.lax.fori_loop(
+                0, s, bodyT, jnp.zeros((nLl, s, chunk), dtype))
+            r = jnp.concatenate([r[:nLl] - up, r[nLl:]], axis=0)
+        s1_ref[0:n2] = r
+        x_odd = _mv_fori(facT_ref, oD, nD, s1_ref, s, chunk, dtype)
+        x = jnp.stack([x, x_odd], axis=1).reshape(2 * n2, s, chunk)
+    return x[:nb0]
+
+
+def _banded_iterate_kernel(cfg, meta, levels,
+                           ll_ref, facT_ref, b0t_ref,
+                           b1t_ref, b0tr_ref, b1tr_ref, dmt_ref, lm_ref,
+                           lmt_ref, q_ref, l_ref, u_ref, x_ref, z_ref,
+                           y_ref, ox_ref, oz_ref, oy_ref, s1_ref,
+                           s3_ref):
+    """check_interval fused ADMM iterations, large-nb variant: fori-loop
+    matvecs over scratch-staged operands; residual checks and
+    certificates stay in the XLA driver (once per chunk)."""
+    (chunk, nb, s, r_max, sigma, alpha, check_interval, kkt_refine) = cfg
+    dtype = q_ref.dtype
+    zero1 = jnp.zeros((1, 1, chunk), dtype)
+
+    def Av_rho(xb):
+        # rho-scaled A x (the driver pre-scales these stores by the
+        # CURRENT rho, folding every rho multiply out of the kernel);
+        # xb staged in s1 (free after the CR solve)
+        s1_ref[:] = xb
+
+        def body(i, acc):
+            b0i = jnp.swapaxes(b0tr_ref[:, pl.ds(i, 1), :], 1, 2)
+            b1i = jnp.swapaxes(b1tr_ref[:, pl.ds(i, 1), :], 1, 2)
+            xi = s1_ref[0:nb, pl.ds(i, 1), :]
+            xhi = jnp.concatenate(
+                [s1_ref[1:nb, pl.ds(i, 1), :], zero1], axis=0)
+            return acc + b0i * xi + b1i * xhi
+
+        return jax.lax.fori_loop(
+            0, s, body, jnp.zeros((nb, r_max, chunk), dtype))
+
+    def Atv(v):
+        # i-loop over the COMPACT transposed stores: per term one
+        # contraction over r via a product + sublane reduction (keeps
+        # the big (nb, r_max, s) untransposed stores out of VMEM)
+        s3_ref[:] = v
+
+        def body(i, lh):
+            lo, hi = lh
+            b0i = jnp.swapaxes(b0t_ref[:, pl.ds(i, 1), :], 1, 2)
+            b1i = jnp.swapaxes(b1t_ref[:, pl.ds(i, 1), :], 1, 2)
+            vv = s3_ref[:]
+            ti = jnp.sum(b0i * vv, axis=1, keepdims=True)
+            ui = jnp.sum(b1i * vv, axis=1, keepdims=True)
+            ei = (jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+                  == i).astype(dtype)
+            return (lo + ti * ei, hi + ui * ei)
+
+        lo, hi = jax.lax.fori_loop(
+            0, s, body,
+            (jnp.zeros((nb, s, chunk), dtype),
+             jnp.zeros((nb, s, chunk), dtype)))
+        return jnp.concatenate([lo[:1], lo[1:] + hi[:nb - 1]], axis=0)
+
+    def M_mv(xt):
+        # banded M matvec: D_M (symmetric; dmt holds it as-is) + L_M
+        s2_ref = s1_ref
+        s2_ref[:] = xt
+
+        def body(j, acc):
+            Dj = jnp.swapaxes(dmt_ref[:, pl.ds(j, 1), :], 1, 2)
+            xj = s1_ref[0:nb, pl.ds(j, 1), :]
+            out = acc + Dj * xj
+            # lo_i = L_i x_{i-1} at rows 1: (lmt = L transposed blocks)
+            Lj = jnp.swapaxes(lmt_ref[:, pl.ds(j, 1), :], 1, 2)
+            xlo = s1_ref[0:nb - 1, pl.ds(j, 1), :]
+            out = out + jnp.concatenate(
+                [jnp.zeros((1, s, chunk), dtype), Lj * xlo], axis=0)
+            # up_i = L'_{i+1} x_{i+1} at rows :-1 (untransposed blocks)
+            Uj = jnp.swapaxes(lm_ref[:, pl.ds(j, 1), :], 1, 2)
+            xup = s1_ref[1:nb, pl.ds(j, 1), :]
+            out = out + jnp.concatenate(
+                [Uj * xup, jnp.zeros((1, s, chunk), dtype)], axis=0)
+            return out
+
+        return jax.lax.fori_loop(
+            0, s, body, jnp.zeros((nb, s, chunk), dtype))
+
+    def kkt_solve(rhs):
+        xt = _cr_solve_fori(ll_ref, facT_ref, meta, levels, rhs,
+                            s1_ref, s, chunk)
+        for _ in range(kkt_refine):
+            xt = xt + _cr_solve_fori(ll_ref, facT_ref, meta, levels,
+                                     rhs - M_mv(xt), s1_ref, s, chunk)
+        return xt
+
+    def one_iter(_, carry):
+        # rho-SCALED splitting state: zt_ = rho z, bounds and the Av
+        # stores pre-scaled by rho driver-side -- every removed
+        # row-space op is a 6.3MB Mosaic spill slot at nb=541
+        x, zt_, y = carry
+        rhs = sigma * x - q_ref[:] + Atv(zt_ - y)
+        xt = kkt_solve(rhs)
+        wt = alpha * Av_rho(xt) + (1.0 - alpha) * zt_ + y
+        z1t = jnp.clip(wt, l_ref[:], u_ref[:])
+        y1 = wt - z1t
+        x1 = alpha * xt + (1.0 - alpha) * x
+        return x1, z1t, y1
+
+    xn, zn, yn = jax.lax.fori_loop(
+        0, check_interval, one_iter, (x_ref[:], z_ref[:], y_ref[:]))
+    ox_ref[:] = xn
+    oz_ref[:] = zn
+    oy_ref[:] = yn
+
+
+def banded_iterate(fac_packed, ll_pack, meta, B0, B1, D_M, L_M, rho_g,
+                   q, l, u, x, z, y, *, sigma, alpha, check_interval,
+                   kkt_refine, chunk=128, interpret=False):
+    """Run check_interval fused iterations (large-nb engine).  Layouts
+    as in banded_shared_chunk; rho_g (nb, r_max) shared.  x/z/y update
+    in place via aliasing; sub-batches run SEQUENTIALLY via lax.map
+    (concurrent pallas_calls stack their scoped VMEM).  Returns
+    (x, z, y)."""
+    nb, s, B = x.shape
+    r_max = l.shape[1]
+    dtype = x.dtype
+    levels = cr_level_shapes(nb)
+    chunk = min(chunk, B)
+    assert B % chunk == 0, (B, chunk)
+    cfg = (chunk, nb, s, r_max, float(sigma), float(alpha),
+           int(check_interval), int(kkt_refine))
+
+    def vspec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if kkt_refine == 0:
+        # M never applied: placeholder inputs keep the spec count fixed
+        # without allocating full banded-M VMEM
+        D_Mk = jnp.zeros((1, s, s), dtype)
+        L_Mk = jnp.zeros((1, s, s), dtype)
+    else:
+        D_Mk, L_Mk = D_M, L_M
+
+    kern = functools.partial(_banded_iterate_kernel, cfg, meta, levels)
+    call = pl.pallas_call(
+        kern,
+        in_specs=[vspec()] * 15,
+        out_specs=tuple([vspec()] * 3),
+        out_shape=(jax.ShapeDtypeStruct((nb, s, chunk), dtype),
+                   jax.ShapeDtypeStruct((nb, r_max, chunk), dtype),
+                   jax.ShapeDtypeStruct((nb, r_max, chunk), dtype)),
+        input_output_aliases={12: 0, 13: 1, 14: 2},
+        scratch_shapes=[pltpu.VMEM((nb, s, chunk), dtype),
+                        pltpu.VMEM((nb, r_max, chunk), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    rho3g = rho_g.astype(dtype)[:, :, None]
+    shared = (ll_pack, jnp.swapaxes(fac_packed, 1, 2),
+              jnp.swapaxes(B0, 1, 2), jnp.swapaxes(B1, 1, 2),
+              jnp.swapaxes(B0 * rho3g, 1, 2),
+              jnp.swapaxes(B1 * rho3g, 1, 2), D_Mk,
+              L_Mk, jnp.swapaxes(L_Mk, 1, 2))
+    if chunk == B:
+        return call(*shared, q, l, u, x, z, y)
+    nsub = B // chunk
+
+    def split(a):
+        return jnp.moveaxis(
+            a.reshape(a.shape[:-1] + (nsub, chunk)), -2, 0)
+
+    def unsplit(a):
+        return jnp.moveaxis(a, 0, -2).reshape(
+            a.shape[1:-1] + (B,))
+
+    outs = jax.lax.map(
+        lambda args: call(*shared, *args),
+        tuple(split(a) for a in (q, l, u, x, z, y)))
+    return tuple(unsplit(o) for o in outs)

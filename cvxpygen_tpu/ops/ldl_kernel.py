@@ -352,8 +352,21 @@ def _factor_inverse_kernel(cfg, k_ref, kinv_ref, l_scr, linv_scr, d_scr):
             kinv_ref[:o, :, :] = Ru
 
 
+def pick_fi_block(Np, dtype=jnp.float32):
+    """Lane-block for the fused factor+inverse: the kernel keeps ~3 full
+    (Np, Np, bb) buffers (in, out/trailing, L scratch) plus (rest, Np,
+    bb)-sized sweep temporaries resident; budget ~6 full-size
+    equivalents against 90MB (measured: Np=144 fits bb=128, Np=176
+    does not)."""
+    esize = jnp.dtype(dtype).itemsize
+    for bb in (128, 64, 32, 16, 8):
+        if 6 * Np * Np * bb * esize <= 90 * 1024 * 1024:
+            return bb
+    return 8
+
+
 def ldl_factor_inverse_pallas(K, signs, dyn_delta, panel: int = 16,
-                              block_b: int = 128, interpret=False):
+                              block_b: int = None, interpret=False):
     """Lane-batched fused LDL factor + explicit inverse: K (B, N, N) ->
     Kinv (B, N, N) of the pivot-regularized K.  Replaces
     ldl_factor_pallas + ldl_inverse on TPU (one launch, ~4x fewer
@@ -364,6 +377,8 @@ def ldl_factor_inverse_pallas(K, signs, dyn_delta, panel: int = 16,
     p = min(panel, N)
     nbp = -(-N // p)
     Np = nbp * p
+    if block_b is None:
+        block_b = pick_fi_block(Np, dtype)
     signs = np.concatenate([np.asarray(signs, float), np.ones(Np - N)])
     if Np != N:
         Kp = jnp.zeros((B, Np, Np), dtype)
@@ -377,22 +392,30 @@ def ldl_factor_inverse_pallas(K, signs, dyn_delta, panel: int = 16,
             [KT, jnp.broadcast_to(
                 jnp.eye(Np, dtype=dtype)[:, :, None],
                 (Np, Np, Bp - B))], axis=2)
-    grid = (Bp // block_b,)
     cfg = (p, nbp, tuple(float(s) for s in signs), float(dyn_delta))
     kern = functools.partial(_factor_inverse_kernel, cfg)
-    KinvT = pl.pallas_call(
+    call = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[pl.BlockSpec((Np, Np, block_b), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((Np, Np, block_b), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, Np, Bp), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Np, block_b), dtype),
         scratch_shapes=[pltpu.VMEM((Np, Np, block_b), dtype),
                         pltpu.VMEM((Np, p, block_b), dtype),
                         pltpu.VMEM((Np, block_b), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(KT)
+    )
+    # one grid=1 launch per lane sub-batch (block dims == array dims:
+    # any block_b is Mosaic-legal); lax.map keeps the launches
+    # SEQUENTIAL -- XLA schedules independent pallas_calls concurrently
+    # and their scoped VMEM adds up (the banded-kernel lesson)
+    nsub = Bp // block_b
+    if nsub == 1:
+        KinvT = call(KT)
+    else:
+        stacked = jnp.moveaxis(
+            KT.reshape(Np, Np, nsub, block_b), 2, 0)
+        KinvT = jnp.moveaxis(jax.lax.map(call, stacked), 0, 2) \
+            .reshape(Np, Np, Bp)
     return jnp.transpose(KinvT[:, :, :B], (2, 0, 1))[:, :N, :N]

@@ -616,7 +616,15 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                               and _os.environ.get('CPG_LDL_PALLAS',
                                                   '1') != '0')
             fac_is_pallas = False
-            if on_tpu_kernels and st.ldl_inverse:
+            # the lane-batched fused factor+inverse wins its stage
+            # standalone (27.7ms vs 67ms at Np=144/bb=128) but LOSES
+            # end-to-end at the entropy family's real Np=176 (1149 vs
+            # 1658 solves/s): the (B, N, N) <-> (N, N, B) transposes and
+            # the bb=64 sub-batching (VMEM forces half-lane blocks above
+            # Np~152) eat the gain -- opt-in until the phase-split
+            # variant lands
+            use_fused_inv = (_os.environ.get('CPG_LDL_FUSED', '0') == '1')
+            if on_tpu_kernels and st.ldl_inverse and use_fused_inv:
                 # lane-batched fused factor + inverse (ops/ldl_kernel.py
                 # _factor_inverse_kernel): one launch per 128-instance
                 # lane block replaces the per-32-instance factor kernel

@@ -153,3 +153,82 @@ def test_crk_engine_matches_per_instance(shared_setup):
     np.testing.assert_allclose(np.asarray(got['obj']),
                                np.asarray(ref['obj']),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_banded_iterate_kernel_equivalence(shared_setup):
+    """Experimental fused iterate kernel (banded_iterate, interpret):
+    one chunk of iterations matches the plain XLA iteration math on the
+    rho-scaled state.  (On TPU the kernel currently only fits the Mosaic
+    spill budget for small nb -- see BENCH.md round-4 notes.)"""
+    import jax
+    import jax.numpy as jnp
+    from cvxpygen_tpu.ops.banded_grouped import (group_rows, pack_cr_levels,
+                                                 pack_lleft,
+                                                 scatter_grouped,
+                                                 ungroup_rows)
+    from cvxpygen_tpu.ops.banded_shared_kernel import banded_iterate
+    from cvxpygen_tpu.ops.block_tridiag import cr_factor, cr_solve
+    from cvxpygen_tpu.solvers.admm_banded import assemble_banded_M
+    from cvxpygen_tpu.solvers.admm_banded_shared import ruiz_banded_shared
+    s = shared_setup
+    st, ga = s['st'], s['ga']
+    data, l, u = s['data'], s['l'], s['u']
+    B = l.shape[0]
+    nb, sz, r_max = st.nb, st.s, ga.r_max
+    dtype = jnp.float32
+    with jax.default_matmul_precision('highest'):
+        qp = jnp.concatenate(
+            [data['q'][:, st.order],
+             jnp.zeros((B, st.n_pad - st.n), dtype)], axis=1)
+        pv, av, c, D, E = ruiz_banded_shared(
+            st, data['pvals'][0], data['avals'][0],
+            jnp.max(jnp.abs(qp), axis=0), 3)
+        qp = qp * D[None] * c
+        ls = jnp.clip(l, -1e30, 1e30) * E[None]
+        us = jnp.clip(u, -1e30, 1e30) * E[None]
+        rho = jnp.asarray(
+            np.where(np.arange(st.m) < s['mz'], 100.0, 0.1), dtype)
+        D_M, L_M = assemble_banded_M(st, pv[None], av[None], rho[None],
+                                     1e-6, dtype)
+        fac = cr_factor(D_M, L_M)
+        packed, meta = pack_cr_levels(fac)
+        llp = pack_lleft(fac)
+        B0, B1 = scatter_grouped(ga, av)
+        rho_g = group_rows(ga, rho[None], 1.0)[0]
+        qx = jnp.transpose(qp.reshape(B, nb, sz), (1, 2, 0))
+        rg3 = rho_g[:, :, None]
+        lg = rg3 * jnp.transpose(group_rows(ga, ls, -1e30), (1, 2, 0))
+        ug = rg3 * jnp.transpose(group_rows(ga, us, 1e30), (1, 2, 0))
+        xk = jnp.zeros((nb, sz, B), dtype)
+        zk = jnp.zeros((nb, r_max, B), dtype)
+        yk = jnp.zeros((nb, r_max, B), dtype)
+        xk2, zk2, yk2 = banded_iterate(
+            packed, llp, meta, B0, B1, D_M[0], L_M[0], rho_g,
+            qx, lg, ug, xk, zk, yk, sigma=1e-6, alpha=1.6,
+            check_interval=5, kkt_refine=0, interpret=True)
+        # XLA reference on flat state (rho-scaled z)
+        import scipy.sparse as spa
+        A = spa.coo_matrix((np.asarray(av), (st.a_row, st.a_col)),
+                           shape=(st.m, st.n_pad)).toarray()
+        Aj = jnp.asarray(A, dtype)
+        x = jnp.zeros((B, st.n_pad), dtype)
+        zt_ = jnp.zeros((B, st.m), dtype)
+        y = jnp.zeros((B, st.m), dtype)
+        for _ in range(5):
+            rhs = 1e-6 * x - qp + (zt_ - y) @ Aj
+            xt = cr_solve(jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape[1:]), fac),
+                rhs.reshape(B, nb, sz)).reshape(B, st.n_pad)
+            wt = (1.6 * (rho[None] * (xt @ Aj.T))
+                  + (1.0 - 1.6) * zt_ + y)
+            z1t = jnp.clip(wt, rho[None] * jnp.clip(l, -1e30, 1e30) * E[None],
+                           rho[None] * jnp.clip(u, -1e30, 1e30) * E[None])
+            y = wt - z1t
+            zt_ = z1t
+            x = 1.6 * xt + (1.0 - 1.6) * x
+        got_x = np.asarray(jnp.transpose(xk2, (2, 0, 1)).reshape(B, -1))
+        np.testing.assert_allclose(got_x, np.asarray(x), rtol=2e-4,
+                                   atol=2e-4)
+        got_y = np.asarray(ungroup_rows(ga, jnp.transpose(yk2, (2, 0, 1))))
+        np.testing.assert_allclose(got_y, np.asarray(y), rtol=2e-4,
+                                   atol=2e-4)
