@@ -448,7 +448,13 @@ def _bench_portfolio_varying_P(jax, jnp, dtype):
         rng.standard_normal((B, Fi.flat_size)))
     theta[:, ai.offset:ai.offset + ai.flat_size] = rng.standard_normal(
         (B, ai.flat_size))
-    st = ADMMSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000,
+    # eps 3e-4: at 1e-3 one in ~16 oracle-checked instances lands at
+    # 1.3e-2 relative objective error, just over this bench's 1e-2
+    # parity gate (the reference's own bar is 0.1 relative,
+    # tests/test_E2E_QP.py:205); the tighter termination costs ~6% of
+    # the throughput (4,078 -> 3,823 solves/s) and brings parity to
+    # 7.5e-3
+    st = ADMMSettings(eps_abs=3e-4, eps_rel=3e-4, max_iter=4000,
                       check_interval=15, adaptive_rho=True,
                       use_pallas='full')
     solver = CompiledQPSolver(fam, settings=st, dtype=dtype)
