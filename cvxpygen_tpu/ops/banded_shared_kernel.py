@@ -616,10 +616,19 @@ def _banded_iterate_kernel(cfg, meta, levels,
 def banded_iterate(fac_packed, ll_pack, meta, B0, B1, D_M, L_M, rho_g,
                    q, l, u, x, z, y, *, sigma, alpha, check_interval,
                    kkt_refine, chunk=128, interpret=False):
-    """Run check_interval fused iterations (large-nb engine).  Layouts
-    as in banded_shared_chunk; rho_g (nb, r_max) shared.  x/z/y update
-    in place via aliasing; sub-batches run SEQUENTIALLY via lax.map
-    (concurrent pallas_calls stack their scoped VMEM).  Returns
+    """Run check_interval fused iterations (large-nb engine).
+
+    EXPERIMENTAL: interpret-verified (tests/test_admm_banded_shared.py)
+    but not yet deployed -- at nb=541 the Mosaic register allocator's
+    scoped demand expands to fill any granted vmem limit (measured
+    104MB limit -> 105.4MB demand, 107 -> 118.1) against a ~111MB
+    total-program budget; landing it needs ~15% more intrinsic body
+    shrinkage (see BENCH.md round-4 notes).  The shipping driver uses
+    the CR-solve hybrid instead.
+
+    Layouts as in banded_shared_chunk; rho_g (nb, r_max) shared.  x/z/y
+    update in place via aliasing; sub-batches run SEQUENTIALLY via
+    lax.map (concurrent pallas_calls stack their scoped VMEM).  Returns
     (x, z, y)."""
     nb, s, B = x.shape
     r_max = l.shape[1]
