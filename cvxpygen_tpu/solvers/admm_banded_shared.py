@@ -164,12 +164,21 @@ def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
 
     fac0, meta, D_M0, L_M0 = factor(rho_base)
 
+    # NO solve-time refinement on this path: cyclic reduction is a
+    # DIRECT factorization (exact to f32 roundoff; the sigma term is
+    # part of M itself), unlike the Newton-Schulz inverse paths where
+    # refinement is load-bearing.  Measured at T=1440 B=256 on-chip:
+    # identical iteration counts with and without (635.5 vs 635.7) and
+    # 149 -> 355 solves/s from dropping the second CR launch + the
+    # banded-M refine einsums per iteration.
+    kkt_refine_crk = 0
+
     def kkt_apply(packed, D_M, L_M, rhs):
         rhs3 = jnp.transpose(rhs.reshape(B, nb, s), (1, 2, 0))
         xt = jnp.transpose(
             cr_solve_pallas(packed, meta, rhs3, interpret=interpret),
             (2, 0, 1)).reshape(B, n_pad)
-        for _ in range(stg.kkt_refine):
+        for _ in range(kkt_refine_crk):
             Mx = (jnp.einsum('nij,bnj->bni', D_M, xt.reshape(B, nb, s))
                   .reshape(B, n_pad))
             xt3 = xt.reshape(B, nb, s)
@@ -429,7 +438,8 @@ def _impl(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0, interpret):
             rho_g, c_inv, qx, lg, ug, x, z, y, done3,
             sigma=stg.sigma, alpha=stg.alpha, eps_abs=stg.eps_abs,
             eps_rel=stg.eps_rel, check_interval=check,
-            kkt_refine=stg.kkt_refine, interpret=interpret)
+            kkt_refine=0, interpret=interpret)  # CR is direct: no
+        # solve-time refinement needed (see _impl_crk's kkt_apply note)
         it = it + check
         ok = (flags & 1) > 0
         p_inf = (flags & 2) > 0
