@@ -137,6 +137,14 @@ def write_c_artifact(code_dir, fam, theta_default=None):
     directory path, or None for PSD families."""
     if getattr(fam, 'psd_dims', ()):
         return None
+    # the embedded core uses dense-expanded P/A maps (n^2 + m*n rows x
+    # p+1); cap the emitted artifact to embeddable sizes (the reference
+    # draws the same line: its embedded OSQP codegen targets MCU-scale
+    # problems, reference osqp.py:126-131).  Long-horizon families stay
+    # on the TPU runtime (the banded engines).
+    dense_entries = (fam.n * fam.n + fam.m * fam.n) * fam.p1
+    if dense_entries > 5e7:
+        return None
     import scipy.sparse as spa
 
     from ..runtime.jax_family import _expand_rows
