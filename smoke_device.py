@@ -192,8 +192,8 @@ def run_smoke(verbose=True):
     check('network_lp_admm', network_admm)
 
     # --- charging family on the block-banded engine (reduced T).  Two
-    # sizes: T=288 exercises the fused chunk kernel (nb <= 96) and
-    # T=576 the large-nb CR-solve hybrid -- BOTH deployed shared-KKT
+    # sizes: T=160 (nb=81) exercises the fused chunk kernel and T=576
+    # (nb=289) the large-nb CR-solve hybrid -- BOTH deployed shared-KKT
     # banded paths run on the chip before the bench times anything.
     def charging_banded(T):
         from cvxpygen_tpu.runtime.solver import CompiledBandedQPSolver
@@ -219,7 +219,7 @@ def run_smoke(verbose=True):
         out = s.solve_batch(th)
         return float(np.mean(np.asarray(out['solved'])))
 
-    check('charging_banded_chunk', lambda: charging_banded(288))
+    check('charging_banded_chunk', lambda: charging_banded(160))
     check('charging_banded_crk', lambda: charging_banded(576))
 
     # --- infeasible QP status surface --------------------------------------
