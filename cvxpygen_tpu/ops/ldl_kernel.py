@@ -353,14 +353,15 @@ def _factor_inverse_kernel(cfg, k_ref, kinv_ref, l_scr, linv_scr, d_scr):
 
 
 def pick_fi_block(Np, dtype=jnp.float32):
-    """Lane-block for the fused factor+inverse: the kernel keeps ~3 full
-    (Np, Np, bb) buffers (in, out/trailing, L scratch) plus (rest, Np,
-    bb)-sized sweep temporaries resident; budget ~6 full-size
-    equivalents against 90MB (measured: Np=144 fits bb=128, Np=176
-    does not)."""
+    """Lane-block for the fused factor+inverse: with the input aliased
+    onto the output the kernel keeps ~2 full (Np, Np, bb) buffers
+    (in+out/trailing shared, L scratch) plus (rest, Np, bb)-sized sweep
+    temporaries; budget ~5 full-size equivalents against 90MB (the
+    pre-aliasing budget of 6 forced bb=64 at Np=176, and the half-lane
+    sub-batching ate the fused kernel's win -- see solvers/ipm.py)."""
     esize = jnp.dtype(dtype).itemsize
     for bb in (128, 64, 32, 16, 8):
-        if 6 * Np * Np * bb * esize <= 90 * 1024 * 1024:
+        if 5 * Np * Np * bb * esize <= 90 * 1024 * 1024:
             return bb
     return 8
 
@@ -394,28 +395,25 @@ def ldl_factor_inverse_pallas(K, signs, dyn_delta, panel: int = 16,
                 (Np, Np, Bp - B))], axis=2)
     cfg = (p, nbp, tuple(float(s) for s in signs), float(dyn_delta))
     kern = functools.partial(_factor_inverse_kernel, cfg)
-    call = pl.pallas_call(
+    # lane sub-batches ride the GRID (sequential on the core, scratch
+    # reused per step) -- the earlier lax.map-over-pallas_call form paid
+    # a big moveaxis repack either side of every sub-launch; the input
+    # is aliased onto the output (the kernel's first store is the
+    # k -> kinv copy and k is never read again), saving one full
+    # (Np, Np, bb) VMEM buffer so Np=176 fits bb=128
+    nsub = Bp // block_b
+    KinvT = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, Np, block_b), dtype),
+        grid=(nsub,),
+        in_specs=[pl.BlockSpec((Np, Np, block_b), lambda i: (0, 0, i))],
+        out_specs=pl.BlockSpec((Np, Np, block_b), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((Np, Np, Bp), dtype),
         scratch_shapes=[pltpu.VMEM((Np, Np, block_b), dtype),
                         pltpu.VMEM((Np, p, block_b), dtype),
                         pltpu.VMEM((Np, block_b), dtype)],
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )
-    # one grid=1 launch per lane sub-batch (block dims == array dims:
-    # any block_b is Mosaic-legal); lax.map keeps the launches
-    # SEQUENTIAL -- XLA schedules independent pallas_calls concurrently
-    # and their scoped VMEM adds up (the banded-kernel lesson)
-    nsub = Bp // block_b
-    if nsub == 1:
-        KinvT = call(KT)
-    else:
-        stacked = jnp.moveaxis(
-            KT.reshape(Np, Np, nsub, block_b), 2, 0)
-        KinvT = jnp.moveaxis(jax.lax.map(call, stacked), 0, 2) \
-            .reshape(Np, Np, Bp)
+    )(KT)
     return jnp.transpose(KinvT[:, :, :B], (2, 0, 1))[:, :N, :N]

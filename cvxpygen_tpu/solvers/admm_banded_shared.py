@@ -111,18 +111,27 @@ def admm_solve_banded_shared(st: BandedStructure, ga: GroupedA,
 
 def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
               interpret):
-    """Shared-P/A banded ADMM: XLA loop + one-launch CR solves."""
+    """Shared-P/A banded ADMM: XLA loop + one-launch CR solves.
+
+    All iteration state lives in the GROUPED block layouts (x-space
+    (nb, s, B); row-space (nb, r_max, B)) so the per-iteration A/A'
+    matvecs are two batched einsums against the dense grouped blocks
+    B0/B1 (ops/banded_grouped.py) and the CR kernel consumes/produces
+    its native layout directly -- the round-3 engine paid per-iteration
+    segment gather/scatter matvecs over (B, nnz) plus two full-state
+    transposes around every CR launch instead (~8 extra HBM-streaming
+    XLA ops/iteration, the residual launch-bound term in BENCH.md's
+    speed-of-light accounting)."""
     from ..ops.banded_shared_kernel import cr_solve_pallas
 
     B = q.shape[0]
     dtype = q.dtype
     n, m, n_pad, s, nb = st.n, st.m, st.n_pad, st.s, st.nb
+    r_max = ga.r_max
     order = jnp.asarray(st.order)
     pos = jnp.asarray(st.pos)
     p_row = jnp.asarray(st.p_row)
     p_col = jnp.asarray(st.p_col)
-    a_row = jnp.asarray(st.a_row)
-    a_col = jnp.asarray(st.a_col)
 
     l = jnp.clip(l, -_INF, _INF)
     u = jnp.clip(u, -_INF, _INF)
@@ -143,17 +152,44 @@ def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
     rho_base = jnp.asarray(
         np.where(is_eq, stg.rho * stg.rho_eq_scale, stg.rho), dtype)
 
-    def Av(x):                       # (B, n_pad) -> (B, m)
-        return jax.ops.segment_sum((avals[None] * x[:, a_col]).T, a_row,
-                                   num_segments=m).T
+    # grouped shared tensors (same layout family as _impl's chunk kernel)
+    B0, B1 = scatter_grouped(ga, avals)               # (nb, r_max, s)
+    zero_rho = jnp.zeros((1, m), dtype)
+    D_P, L_P = assemble_banded_M(st, pvals[None], avals[None], zero_rho,
+                                 0.0, dtype)
+    D_P, L_P = D_P[0], L_P[0]                         # (nb,s,s)/(nb-1,s,s)
 
-    def Atv(y):
-        return jax.ops.segment_sum((avals[None] * y[:, a_row]).T, a_col,
-                                   num_segments=n_pad).T
+    def to_x_layout(v):                  # (B, n_pad) -> (nb, s, B)
+        return jnp.transpose(v.reshape(B, nb, s), (1, 2, 0))
 
-    def Pv(x):
-        return jax.ops.segment_sum((pvals[None] * x[:, p_col]).T, p_row,
-                                   num_segments=n_pad).T
+    def from_x_layout(v):                # (nb, s, B) -> (B, n_pad)
+        return jnp.transpose(v, (2, 0, 1)).reshape(B, n_pad)
+
+    def to_r_layout(v, fill):            # (B, m) -> (nb, r_max, B)
+        g = group_rows(ga, v, fill=fill)             # (B, nb, r_max)
+        return jnp.transpose(g, (1, 2, 0))
+
+    def from_r_layout(v):                # (nb, r_max, B) -> (B, m)
+        return ungroup_rows(ga, jnp.transpose(v, (2, 0, 1)))
+
+    zero_blk = jnp.zeros((1, s, B), dtype)
+
+    def Av(x):                       # (nb, s, B) -> (nb, r_max, B)
+        xn = jnp.concatenate([x[1:], zero_blk], axis=0)
+        return (jnp.einsum('nrs,nsb->nrb', B0, x)
+                + jnp.einsum('nrs,nsb->nrb', B1, xn))
+
+    def Atv(t):                      # (nb, r_max, B) -> (nb, s, B)
+        lo = jnp.einsum('nrs,nrb->nsb', B0, t)
+        hi = jnp.einsum('nrs,nrb->nsb', B1, t)
+        return lo + jnp.concatenate([zero_blk, hi[:-1]], axis=0)
+
+    def Pv(x):                       # block-tridiag P apply in x layout
+        out = jnp.einsum('nij,njb->nib', D_P, x)
+        lo = jnp.einsum('nij,njb->nib', L_P, x[:-1])
+        hi = jnp.einsum('nji,njb->nib', L_P, x[1:])
+        out = out.at[1:].add(lo)
+        return out.at[:-1].add(hi)
 
     def factor(rho_vec):
         D_M, L_M = assemble_banded_M(st, pvals[None], avals[None],
@@ -171,88 +207,83 @@ def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
     # identical iteration counts with and without (635.5 vs 635.7) and
     # 149 -> 355 solves/s from dropping the second CR launch + the
     # banded-M refine einsums per iteration.
-    kkt_refine_crk = 0
 
-    def kkt_apply(packed, D_M, L_M, rhs):
-        rhs3 = jnp.transpose(rhs.reshape(B, nb, s), (1, 2, 0))
-        xt = jnp.transpose(
-            cr_solve_pallas(packed, meta, rhs3, interpret=interpret),
-            (2, 0, 1)).reshape(B, n_pad)
-        for _ in range(kkt_refine_crk):
-            Mx = (jnp.einsum('nij,bnj->bni', D_M, xt.reshape(B, nb, s))
-                  .reshape(B, n_pad))
-            xt3 = xt.reshape(B, nb, s)
-            lo = jnp.einsum('nij,bnj->bni', L_M, xt3[:, :-1])
-            up = jnp.einsum('nji,bnj->bni', L_M, xt3[:, 1:])
-            Mx = Mx.at[:, s:].add(lo.reshape(B, -1))
-            Mx = Mx.at[:, :-s].add(up.reshape(B, -1))
-            r3 = jnp.transpose((rhs - Mx).reshape(B, nb, s), (1, 2, 0))
-            xt = xt + jnp.transpose(
-                cr_solve_pallas(packed, meta, r3, interpret=interpret),
-                (2, 0, 1)).reshape(B, n_pad)
-        return xt
+    # grouped constants
+    qx = to_x_layout(qp)
+    lg = to_r_layout(ls, -_INF)
+    ug = to_r_layout(us, _INF)
+    E_g = to_r_layout(jnp.broadcast_to(E[None], (B, m)), 0.0)[:, :, :1]
+    Einv_g = to_r_layout(jnp.broadcast_to(E_inv[None], (B, m)),
+                         0.0)[:, :, :1]               # (nb, r_max, 1)
+    D_x = to_x_layout(jnp.broadcast_to(D[None], (B, n_pad)))[:, :, :1]
+    Dinv_x = to_x_layout(jnp.broadcast_to(D_inv[None],
+                                          (B, n_pad)))[:, :, :1]
+    rho_g0 = to_r_layout(jnp.broadcast_to(rho_base[None], (B, m)),
+                         1.0)[:, :, :1]               # (nb, r_max, 1)
+    ug_fin = ug < _INF * 0.5                          # bound-finiteness
+    lg_fin = lg > -_INF * 0.5
 
     if x0 is not None:
         x0p = jnp.concatenate(
             [x0.astype(dtype)[:, order], jnp.zeros((B, n_pad - n), dtype)],
             axis=1)
-        x_init = D_inv[None, :] * x0p
+        x_init = to_x_layout(D_inv[None, :] * x0p)
         z_init = Av(x_init)
     else:
-        x_init = jnp.zeros((B, n_pad), dtype)
-        z_init = jnp.zeros((B, m), dtype)
-    y_init = (c * E_inv[None, :] * y0.astype(dtype)
-              if y0 is not None else jnp.zeros((B, m), dtype))
+        x_init = jnp.zeros((nb, s, B), dtype)
+        z_init = jnp.zeros((nb, r_max, B), dtype)
+    y_init = (to_r_layout(c * E_inv[None, :] * y0.astype(dtype), 0.0)
+              if y0 is not None else jnp.zeros((nb, r_max, B), dtype))
 
-    def one_iter(carry, packed, D_M, L_M, rho_vec):
+    def one_iter(carry, packed, rho_g):
         x, z, y = carry
-        rhs = stg.sigma * x - qp + Atv(rho_vec[None, :] * z - y)
-        xt = kkt_apply(packed, D_M, L_M, rhs)
+        rhs = stg.sigma * x - qx + Atv(rho_g * z - y)
+        xt = cr_solve_pallas(packed, meta, rhs, interpret=interpret)
         zt = Av(xt)
         x1 = stg.alpha * xt + (1 - stg.alpha) * x
-        w = stg.alpha * zt + (1 - stg.alpha) * z + y / rho_vec[None, :]
-        z1 = jnp.clip(w, ls, us)
-        y1 = rho_vec[None, :] * (w - z1)
+        w = stg.alpha * zt + (1 - stg.alpha) * z + y / rho_g
+        z1 = jnp.clip(w, lg, ug)
+        y1 = rho_g * (w - z1)
         return x1, z1, y1
 
-    def _inf_norm(v):
-        return jnp.max(jnp.abs(v), axis=-1)
+    def _inf_norm_r(v):              # (nb, r_max, B) -> (B,)
+        return jnp.max(jnp.abs(v), axis=(0, 1))
 
     def residuals(x, z, y, Ax, Px, Aty):
-        rp = _inf_norm(E_inv[None, :] * (Ax - z))
-        rp_den = jnp.maximum(_inf_norm(E_inv[None, :] * Ax),
-                             _inf_norm(E_inv[None, :] * z))
-        rd = c_inv * _inf_norm(D_inv[None, :] * (Px + qp + Aty))
+        rp = _inf_norm_r(Einv_g * (Ax - z))
+        rp_den = jnp.maximum(_inf_norm_r(Einv_g * Ax),
+                             _inf_norm_r(Einv_g * z))
+        rd = c_inv * _inf_norm_r(Dinv_x * (Px + qx + Aty))
         rd_den = c_inv * jnp.maximum(
-            jnp.maximum(_inf_norm(D_inv[None, :] * Px),
-                        _inf_norm(D_inv[None, :] * Aty)),
-            _inf_norm(D_inv[None, :] * qp))
+            jnp.maximum(_inf_norm_r(Dinv_x * Px),
+                        _inf_norm_r(Dinv_x * Aty)),
+            _inf_norm_r(Dinv_x * qx))
         ok = ((rp <= stg.eps_abs + stg.eps_rel * rp_den)
               & (rd <= stg.eps_abs + stg.eps_rel * rd_den))
         return rp, rd, rp_den, rd_den, ok
 
     def infeasibility(dx, dy, Pdx, Adx, Atdy):
         eps = jnp.asarray(1e-4, dtype)
-        dy_n = _inf_norm(E[None, :] * dy) * c_inv
-        cert_p1 = _inf_norm(D_inv[None, :] * Atdy) * c_inv <= eps * dy_n
-        u_fin = jnp.where(us < _INF * 0.5, us * E_inv[None, :], 0.0)
-        l_fin = jnp.where(ls > -_INF * 0.5, ls * E_inv[None, :], 0.0)
-        sup = jnp.sum(u_fin * jnp.maximum(E[None, :] * dy, 0.0)
-                      + l_fin * jnp.minimum(E[None, :] * dy, 0.0),
-                      axis=1) * c_inv
-        open_dir = (jnp.any((dy > 1e-12) & (us >= _INF * 0.5), axis=1)
-                    | jnp.any((dy < -1e-12) & (ls <= -_INF * 0.5), axis=1))
+        dy_n = _inf_norm_r(E_g * dy) * c_inv
+        cert_p1 = _inf_norm_r(Dinv_x * Atdy) * c_inv <= eps * dy_n
+        u_fin = jnp.where(ug_fin, ug * Einv_g, 0.0)
+        l_fin = jnp.where(lg_fin, lg * Einv_g, 0.0)
+        sup = jnp.sum(u_fin * jnp.maximum(E_g * dy, 0.0)
+                      + l_fin * jnp.minimum(E_g * dy, 0.0),
+                      axis=(0, 1)) * c_inv
+        open_dir = (jnp.any((dy > 1e-12) & ~ug_fin, axis=(0, 1))
+                    | jnp.any((dy < -1e-12) & ~lg_fin, axis=(0, 1)))
         prim_inf = ((dy_n > 1e-10) & cert_p1 & (sup <= -eps * dy_n)
                     & ~open_dir)
-        dx_n = _inf_norm(D[None, :] * dx)
-        cert_d1 = _inf_norm(D_inv[None, :] * Pdx) * c_inv <= eps * dx_n
-        cert_d2 = (jnp.einsum('bi,bi->b', qp, dx) * c_inv) <= -eps * dx_n
-        up_ok = jnp.where(us >= _INF * 0.5, True,
-                          E_inv[None, :] * Adx <= eps * dx_n[:, None])
-        lo_ok = jnp.where(ls <= -_INF * 0.5, True,
-                          E_inv[None, :] * Adx >= -eps * dx_n[:, None])
+        dx_n = _inf_norm_r(D_x * dx)
+        cert_d1 = _inf_norm_r(Dinv_x * Pdx) * c_inv <= eps * dx_n
+        cert_d2 = (jnp.sum(qx * dx, axis=(0, 1)) * c_inv) <= -eps * dx_n
+        up_ok = jnp.where(ug_fin, Einv_g * Adx <= eps * dx_n[None, None],
+                          True)
+        lo_ok = jnp.where(lg_fin, Einv_g * Adx >= -eps * dx_n[None, None],
+                          True)
         dual_inf = ((dx_n > 1e-10) & cert_d1 & cert_d2
-                    & jnp.all(up_ok & lo_ok, axis=1))
+                    & jnp.all(up_ok & lo_ok, axis=(0, 1)))
         return prim_inf, dual_inf
 
     check = stg.check_interval
@@ -266,12 +297,12 @@ def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
     def body(state):
         (x, z, y, rho_scale, packed, D_M, L_M, it, done, it_vec,
          rp_l, rd_l, status) = state
-        rho_vec = rho_base * rho_scale
+        rho_g = rho_g0 * rho_scale
 
         def inner(_, carry):
-            return one_iter(carry, packed, D_M, L_M, rho_vec)
+            return one_iter(carry, packed, rho_g)
         xn, zn, yn = jax.lax.fori_loop(0, check, inner, (x, z, y))
-        mask = done[:, None]
+        mask = done[None, None, :]
         dx = jnp.where(mask, 0.0, xn - x)
         dy = jnp.where(mask, 0.0, yn - y)
         x = jnp.where(mask, x, xn)
@@ -323,12 +354,13 @@ def _impl_crk(st, ga, pvals, q, avals, l, u, n_eq, stg, x0, y0,
      status) = jax.lax.while_loop(cond, body, state0)
     it_vec = jnp.where(done, it_vec, it)
 
-    x_u = (D[None, :] * x)[:, pos]
-    z_u = E_inv[None, :] * z
-    y_u = c_inv * E[None, :] * y
-    obj = c_inv * (0.5 * jnp.sum(pvals[None] * x[:, p_row] * x[:, p_col],
+    xf = from_x_layout(x)                       # (B, n_pad) scaled
+    x_u = (D[None, :] * xf)[:, pos]
+    z_u = E_inv[None, :] * from_r_layout(z)
+    y_u = c_inv * E[None, :] * from_r_layout(y)
+    obj = c_inv * (0.5 * jnp.sum(pvals[None] * xf[:, p_row] * xf[:, p_col],
                                  axis=1)
-                   + jnp.einsum('bi,bi->b', qp, x))
+                   + jnp.einsum('bi,bi->b', qp, xf))
     obj = jnp.where(status == -3, jnp.inf, obj)
     obj = jnp.where(status == -4, -jnp.inf, obj)
     return dict(x=x_u, y=y_u, z=z_u, obj=obj, iters=it_vec,
