@@ -234,6 +234,87 @@ def ldl_solve_pallas(fac, b, block_b: int = 128, interpret=False):
     return x[:B, :N]
 
 
+def _inverse_kernel(cfg, l_ref, d_ref, linv_ref, kinv_ref):
+    """One-launch explicit inverse from a ldl_factor_pallas fac:
+    Kinv = L'^{-1} D^{-1} L^{-1} by two panel sweeps on the identity.
+    Batch-major (bb, Np, Np) like the factor kernel -- every panel step
+    is an MXU dot_general over the full Np-wide right-hand block, so
+    the whole build is ~4 ops x nbp panels in ONE launch (the XLA
+    ldl_inverse lowering pays ~70 HBM-streaming launches)."""
+    p, nbp = cfg
+    bb, Np, _ = kinv_ref.shape
+    dtype = kinv_ref.dtype
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+           ).astype(dtype)
+    kinv_ref[:] = jnp.broadcast_to(eye[None], (bb, Np, Np))
+    # forward: L Z = I, panel by panel
+    for k in range(nbp):
+        o = k * p
+        Linv_k = linv_ref[:, o:o + p, :]               # (bb, p, p)
+        Zk = jax.lax.dot_general(
+            Linv_k, kinv_ref[:, o:o + p, :],
+            (((2,), (1,)), ((0,), (0,))), precision=_HI)   # (bb, p, Np)
+        kinv_ref[:, o:o + p, :] = Zk
+        rest = Np - o - p
+        if rest > 0:
+            L21 = l_ref[:, o + p:, o:o + p]            # (bb, rest, p)
+            kinv_ref[:, o + p:, :] = kinv_ref[:, o + p:, :] \
+                - jax.lax.dot_general(L21, Zk,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=_HI)
+    # diagonal
+    kinv_ref[:] = kinv_ref[:] / d_ref[:][:, :, None]
+    # backward: L' X = W, reversed panels
+    for k in reversed(range(nbp)):
+        o = k * p
+        LinvT_k = jnp.swapaxes(linv_ref[:, o:o + p, :], 1, 2)
+        Xk = jax.lax.dot_general(
+            LinvT_k, kinv_ref[:, o:o + p, :],
+            (((2,), (1,)), ((0,), (0,))), precision=_HI)   # (bb, p, Np)
+        kinv_ref[:, o:o + p, :] = Xk
+        if o:
+            LkT = jnp.swapaxes(l_ref[:, o:o + p, :o], 1, 2)  # (bb, o, p)
+            kinv_ref[:, :o, :] = kinv_ref[:, :o, :] \
+                - jax.lax.dot_general(LkT, Xk,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=_HI)
+
+
+def ldl_inverse_pallas(fac, block_b: int = 64, interpret=False):
+    """Explicit inverse of the regularized K from a ldl_factor_pallas
+    fac dict, as one pallas launch per batch block.  Same contract as
+    ops/ldl_batched.ldl_inverse (returns (B, N, N))."""
+    L, d, Linv = fac['L'], fac['d'], fac['Linv']
+    p, N, Np = fac['panel'], fac['N'], fac['Np']
+    nbp = Np // p
+    B = L.shape[0]
+    dtype = L.dtype
+    Lp, _ = _pad_batch(L, block_b)
+    dp, _ = _pad_batch(d, block_b)
+    if Lp.shape[0] != B:
+        dp = dp.at[B:].set(1.0)
+    Linvp, _ = _pad_batch(Linv, block_b)
+    Bp = Lp.shape[0]
+    grid = (Bp // block_b,)
+    kern = functools.partial(_inverse_kernel, (p, nbp))
+    kinv = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, Np), lambda i: (i, 0)),
+            pl.BlockSpec((block_b, Np, p), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, Np), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Lp, dp, Linvp)
+    return kinv[:B, :N, :N]
+
+
 # ---------------------------------------------------------------------------
 # lane-batched fused factor + explicit inverse
 # ---------------------------------------------------------------------------

@@ -85,6 +85,18 @@ class IPMSettings:
     # launch-bound); accuracy is equivalent because cond(K') is capped
     # by the dynamic regularization and refinement targets the true K
     ldl_inverse: bool = True
+    # 'ldl' mode: two-level fixed-Schur factorization.  P/E/G are
+    # loop-invariant after equilibration -- only the cone-scaling block
+    # H changes per IPM iteration -- so the (n+mz) saddle block is
+    # factored ONCE per solve and each iteration only factors the
+    # (mc, mc) Schur complement S = H + C' Ktop^{-1} C.  Only sound
+    # when the top block is genuinely well-conditioned (P > 0): with
+    # P = 0 the top block is the static_reg-scaled saddle, Ktop^{-1}
+    # carries 1/reg-scale entries, and T = C'Ktop^{-1}C drowns H --
+    # measured on the entropy family (P = 0, f32 TPU): frac_solved
+    # drops 1.0 -> 0.95 and iterations double.  Hence OPT-IN; the
+    # default full-K factorization handles every layout.
+    ldl_two_level: bool = False
     # HSDE infeasibility post-pass iteration budget (exotic P=0 layouts
     # only; solvers/ipm_hsde.py).  LATENCY NOTE: the pass runs under
     # lax.cond whenever ANY instance is still status 0 at max_iter --
@@ -351,6 +363,30 @@ def ruiz_equilibrate_ipm(P, q, E, f, G, h, blocks, iters):
 # solver
 # ---------------------------------------------------------------------------
 
+def _ldl_kinv(K, signs, st, dtype):
+    """Explicit inverse of the pivot-regularized quasidefinite K via the
+    static-pivot blocked LDL^T (ops/ldl_batched.py math; one-kernel
+    Pallas factorization on TPU, fused factor+inverse opt-in via
+    CPG_LDL_FUSED).  Shared by the full-K 'ldl' path and both levels of
+    the two-level fixed-Schur path."""
+    import os as _os
+    from ..ops.ldl_batched import ldl_factor, ldl_inverse
+    B = K.shape[0]
+    dd = st.ldl_dyn_delta or float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
+    on_tpu_kernels = (jax.default_backend() == 'tpu'
+                      and _os.environ.get('CPG_LDL_PALLAS', '1') != '0')
+    if on_tpu_kernels and _os.environ.get('CPG_LDL_FUSED', '0') == '1':
+        from ..ops.ldl_kernel import ldl_factor_inverse_pallas
+        return ldl_factor_inverse_pallas(K, signs=signs, dyn_delta=dd)
+    if on_tpu_kernels:
+        from ..ops.ldl_kernel import ldl_factor_pallas, ldl_inverse_pallas
+        fac = ldl_factor_pallas(K, signs=signs, dyn_delta=dd,
+                                block_b=min(32, B))
+        return ldl_inverse_pallas(fac)
+    fac = ldl_factor(K, signs=signs, dyn_delta=st.ldl_dyn_delta or None)
+    return ldl_inverse(fac)
+
+
 def ipm_solve(P, q, E, f, G, h, l_nonneg: int, socs: Tuple[int, ...],
               settings: IPMSettings = IPMSettings(),
               n_exp: int = 0, psd_dims: Tuple[int, ...] = (),
@@ -471,6 +507,32 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                     gap=jnp.zeros((B,), dtype), res_primal=rp, res_dual=rd,
                     solved=jnp.ones((B,), jnp.bool_),
                     status=jnp.ones((B,), jnp.int32))
+
+    # ---- 'ldl' two-level fixed-Schur precomputation ------------------
+    # P/E/G are loop-invariant after equilibration; only the cone
+    # scaling block H varies per iteration.  Factor the (n+mz) saddle
+    # block ONCE here; each iteration then factors only the (mc, mc)
+    # Schur complement S = H + C' Ktop^{-1} C (see IPMSettings
+    # .ldl_two_level).  C = [[-G'], [0]] is the fixed coupling block.
+    ldl_fixed = None
+    if kkt_mode == 'ldl' and st.ldl_two_level and st.ldl_inverse:
+        import numpy as _np
+        Nt = n + mz
+        reg2f = jnp.asarray(max(st.static_reg, 1e-8), dtype)
+        Ktop = jnp.zeros((B, Nt, Nt), dtype)
+        Ktop = Ktop.at[:, :n, :n].set(P + st.static_reg * I_n)
+        if mz:
+            Ktop = Ktop.at[:, :n, n:].set(-jnp.swapaxes(E, 1, 2))
+            Ktop = Ktop.at[:, n:, :n].set(-E)
+            Ktop = Ktop.at[:, n + jnp.arange(mz),
+                           n + jnp.arange(mz)].set(-reg2f)
+        signs_top = _np.concatenate([_np.ones(n), -_np.ones(mz)])
+        Ktop_inv = _ldl_kinv(Ktop, signs_top, st, dtype)
+        Ct = jnp.zeros((B, Nt, mc), dtype)
+        Ct = Ct.at[:, :n, :].set(-jnp.swapaxes(G, 1, 2))
+        KiC = jnp.einsum('bij,bjk->bik', Ktop_inv, Ct)
+        T_fix = jnp.einsum('bji,bjk->bik', Ct, KiC)
+        ldl_fixed = (Ktop_inv, KiC, T_fix)
 
     def residuals_unscaled(xu, nuu, zu, su):
         Px = jnp.einsum('bij,bj->bi', P0, xu)
@@ -597,6 +659,39 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
             H = W.wtw_dense(B, mc, dtype)
             if exo:
                 H = ES.set_H(H, ms)
+            if ldl_fixed is not None:
+                # two-level fixed-Schur path: only S = H + C'Ktop^{-1}C
+                # is factored per iteration (mc x mc instead of N x N).
+                # Solve of [[Ktop, C], [C', -H]] [u; dz] = [b1; -r3]:
+                #   u0 = Ktop^{-1} b1
+                #   dz = S^{-1} (r3 - G u0_x)       (C'u0 = -G u0_x)
+                #   u  = u0 - (Ktop^{-1} C) dz
+                # S keeps cond ~ cond(H) because the well-conditioned
+                # block is eliminated first; the dynamic pivot
+                # regularization caps S's small pivots and the
+                # refinement sweeps below target the true K.
+                import numpy as _np
+                Ktop_inv, KiC, T_fix = ldl_fixed
+                S_neg = H + T_fix
+                S_inv = _ldl_kinv(S_neg, _np.ones(mc), st, dtype)
+
+                def base_solve(r1, r2, r3):
+                    b1 = jnp.concatenate([r1, -r2], axis=1)
+                    u0 = jnp.einsum('bij,bj->bi', Ktop_inv, b1)
+                    rhs_z = r3 - jnp.einsum('bij,bj->bi', G, u0[:, :n])
+                    dzv = jnp.einsum('bij,bj->bi', S_inv, rhs_z)
+                    u = u0 - jnp.einsum('bij,bj->bi', KiC, dzv)
+                    return u[:, :n], u[:, n:], dzv
+
+                def solve(r1, r2, r3):
+                    dx, dnu, dz = base_solve(r1, r2, r3)
+                    for _ in range(st.refine_steps):
+                        a1, a2, a3 = apply_K(W, ES, dx, dnu, dz)
+                        cx, cnu, cz = base_solve(r1 - a1, r2 - a2, r3 - a3)
+                        dx, dnu, dz = dx + cx, dnu + cnu, dz + cz
+                    return dx, dnu, dz
+
+                return solve
             reg2 = jnp.asarray(max(st.static_reg, 1e-8), dtype)
             K = jnp.zeros((B, N, N), dtype)
             K = K.at[:, :n, :n].set(P + st.static_reg * I_n)
@@ -661,8 +756,15 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                 # REGULARIZED K (MXU GEMMs); each subsequent solve is a
                 # single einsum.  cond(K') is capped by the dynamic pivot
                 # regularization, so inverse-apply error stays within
-                # what the refinement against the true K absorbs.
-                Kinv = ldl_inverse(fac)
+                # what the refinement against the true K absorbs.  For a
+                # Pallas fac the build is ONE launch (ldl_inverse_pallas)
+                # instead of the ~70-op XLA sweep lowering -- measured
+                # 23 ms of the 47 ms entropy iteration (BENCH.md r4).
+                if fac_is_pallas:
+                    from ..ops.ldl_kernel import ldl_inverse_pallas
+                    Kinv = ldl_inverse_pallas(fac)
+                else:
+                    Kinv = ldl_inverse(fac)
 
                 def _ldl_solve(rhs):
                     return jnp.einsum('bij,bj->bi', Kinv, rhs)

@@ -126,3 +126,33 @@ def test_factor_inverse_pallas_matches_xla():
     # and it really inverts K (true f64 check)
     R = np.eye(N) - np.einsum('bij,bjk->bik', K, Kinv.astype(np.float64))
     assert np.abs(R).max() < 1e-3
+
+
+def test_inverse_pallas_matches_xla():
+    """One-launch ldl_inverse_pallas (interpret) == XLA ldl_inverse on a
+    Pallas-layout fac (flat Linv), including batch padding."""
+    import jax.numpy as jnp
+    from cvxpygen_tpu.ops.ldl_batched import ldl_inverse
+    from cvxpygen_tpu.ops.ldl_kernel import (ldl_factor_pallas,
+                                             ldl_inverse_pallas)
+    rng = np.random.default_rng(12)
+    B, n, mc = 5, 9, 12                      # B=5 exercises pad to 8
+    N = n + mc
+    G = rng.standard_normal((B, mc, n))
+    Hs = rng.standard_normal((B, mc, mc)) * 0.3
+    H = np.einsum('bij,bkj->bik', Hs, Hs) + np.eye(mc)
+    K = np.zeros((B, N, N))
+    K[:, :n, :n] = np.eye(n)
+    K[:, :n, n:] = -np.swapaxes(G, 1, 2)
+    K[:, n:, :n] = -G
+    K[:, n:, n:] = -H
+    signs = np.concatenate([np.ones(n), -np.ones(mc)])
+    Kj = jnp.asarray(K, jnp.float32)
+    dd = float(jnp.finfo(jnp.float32).eps) ** 0.5 * 0.1
+    fac = ldl_factor_pallas(Kj, signs=signs, dyn_delta=dd, block_b=4,
+                            interpret=True)
+    Kinv_ref = np.asarray(ldl_inverse(fac))
+    Kinv = np.asarray(ldl_inverse_pallas(fac, block_b=8, interpret=True))
+    np.testing.assert_allclose(Kinv, Kinv_ref, rtol=2e-3, atol=2e-4)
+    R = np.eye(N) - np.einsum('bij,bjk->bik', K, Kinv.astype(np.float64))
+    assert np.abs(R).max() < 1e-3
