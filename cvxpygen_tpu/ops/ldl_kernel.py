@@ -281,10 +281,19 @@ def _inverse_kernel(cfg, l_ref, d_ref, linv_ref, kinv_ref):
                                       precision=_HI)
 
 
-def ldl_inverse_pallas(fac, block_b: int = 64, interpret=False):
+def ldl_inverse_pallas(fac, block_b: int = None, interpret=False):
     """Explicit inverse of the regularized K from a ldl_factor_pallas
     fac dict, as one pallas launch per batch block.  Same contract as
-    ops/ldl_batched.ldl_inverse (returns (B, N, N))."""
+    ops/ldl_batched.ldl_inverse (returns (B, N, N)).
+
+    block_b default 32 (override: CPG_LDL_INV_BB): the Mosaic register
+    allocator gives vector values no spill-slot reuse, so the per-panel
+    full-width update temporaries (~nbp x (bb, Np-p, Np) values) all
+    count against scoped VMEM -- bb=64 at Np=176 measured 111.6M
+    demand vs the 101.6M limit; bb=32 fits with ~45M headroom."""
+    import os
+    if block_b is None:
+        block_b = int(os.environ.get('CPG_LDL_INV_BB', '32'))
     L, d, Linv = fac['L'], fac['d'], fac['Linv']
     p, N, Np = fac['panel'], fac['N'], fac['Np']
     nbp = Np // p
