@@ -324,6 +324,109 @@ def ldl_inverse_pallas(fac, block_b: int = None, interpret=False):
     return kinv[:B, :N, :N]
 
 
+def _factor_inverse_bm_kernel(cfg, k_ref, kinv_ref, l_scr, linv_scr,
+                              d_scr):
+    """Batch-major fused LDL factor + explicit inverse: one launch per
+    batch block, K (bb, Np, Np) -> Kinv (bb, Np, Np).  The factor
+    panels live in VMEM scratch (no L/d/Linv round-trip through HBM
+    between the factor and inverse kernels); the inverse build is the
+    same two MXU panel sweeps as _inverse_kernel."""
+    p, nbp, signs, delta = cfg
+    bb, Np, _ = k_ref.shape
+    dtype = k_ref.dtype
+    # ---- factor (as _factor_kernel, outputs to scratch) ---------------
+    l_scr[:] = jnp.zeros((bb, Np, Np), dtype)
+    Acur = k_ref[:]
+    for k in range(nbp):
+        o = k * p
+        L11, d1, Linv = _panel_ldl(Acur[:, :p, :p], signs[o:o + p], delta, p)
+        l_scr[:, o:o + p, o:o + p] = L11
+        d_scr[:, o:o + p] = d1
+        linv_scr[:, o:o + p, :] = Linv
+        rest = Np - o - p
+        if rest > 0:
+            Minv = jnp.swapaxes(Linv, 1, 2) / d1[:, None, :]
+            A21 = Acur[:, p:, :p]
+            L21 = jax.lax.dot_general(A21, Minv,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=_HI)
+            l_scr[:, o + p:, o:o + p] = L21
+            W = L21 * d1[:, None, :]
+            Acur = Acur[:, p:, p:] - jax.lax.dot_general(
+                W, L21, (((2,), (2,)), ((0,), (0,))), precision=_HI)
+    # ---- inverse (as _inverse_kernel, reading scratch) ----------------
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+           ).astype(dtype)
+    kinv_ref[:] = jnp.broadcast_to(eye[None], (bb, Np, Np))
+    for k in range(nbp):
+        o = k * p
+        Linv_k = linv_scr[:, o:o + p, :]
+        Zk = jax.lax.dot_general(
+            Linv_k, kinv_ref[:, o:o + p, :],
+            (((2,), (1,)), ((0,), (0,))), precision=_HI)
+        kinv_ref[:, o:o + p, :] = Zk
+        rest = Np - o - p
+        if rest > 0:
+            L21 = l_scr[:, o + p:, o:o + p]
+            kinv_ref[:, o + p:, :] = kinv_ref[:, o + p:, :] \
+                - jax.lax.dot_general(L21, Zk,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=_HI)
+    kinv_ref[:] = kinv_ref[:] / d_scr[:][:, :, None]
+    for k in reversed(range(nbp)):
+        o = k * p
+        LinvT_k = jnp.swapaxes(linv_scr[:, o:o + p, :], 1, 2)
+        Xk = jax.lax.dot_general(
+            LinvT_k, kinv_ref[:, o:o + p, :],
+            (((2,), (1,)), ((0,), (0,))), precision=_HI)
+        kinv_ref[:, o:o + p, :] = Xk
+        if o:
+            LkT = jnp.swapaxes(l_scr[:, o:o + p, :o], 1, 2)
+            kinv_ref[:, :o, :] = kinv_ref[:, :o, :] \
+                - jax.lax.dot_general(LkT, Xk,
+                                      (((2,), (1,)), ((0,), (0,))),
+                                      precision=_HI)
+
+
+def ldl_kinv_pallas(K, signs, dyn_delta, panel: int = 16,
+                    block_b: int = 32, interpret=False):
+    """Batch-major fused factor + inverse: K (B, N, N) -> Kinv of the
+    pivot-regularized K, one launch per batch block, factor panels
+    VMEM-resident (no L/d/Linv HBM round-trip)."""
+    import numpy as np
+    B, N, _ = K.shape
+    dtype = K.dtype
+    p = min(panel, N)
+    nbp = -(-N // p)
+    Np = nbp * p
+    signs = np.concatenate([np.asarray(signs, float), np.ones(Np - N)])
+    if Np != N:
+        Kp = jnp.zeros((B, Np, Np), dtype)
+        Kp = Kp.at[:, :N, :N].set(K)
+        Kp = Kp.at[:, jnp.arange(N, Np), jnp.arange(N, Np)].set(1.0)
+        K = Kp
+    K, B0 = _pad_batch(K, block_b)
+    Bp = K.shape[0]
+    grid = (Bp // block_b,)
+    cfg = (p, nbp, tuple(float(s) for s in signs), float(dyn_delta))
+    kern = functools.partial(_factor_inverse_bm_kernel, cfg)
+    kinv = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((block_b, Np, Np), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, Np), dtype),
+        scratch_shapes=[pltpu.VMEM((block_b, Np, Np), dtype),
+                        pltpu.VMEM((block_b, Np, p), dtype),
+                        pltpu.VMEM((block_b, Np), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(K)
+    return kinv[:B0, :N, :N]
+
+
 # ---------------------------------------------------------------------------
 # lane-batched fused factor + explicit inverse
 # ---------------------------------------------------------------------------

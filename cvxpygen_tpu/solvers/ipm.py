@@ -735,6 +735,21 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
                     return jnp.einsum('bij,bj->bi', Kinv, rhs)
 
                 fac = None
+            elif (on_tpu_kernels and st.ldl_inverse
+                  and _os.environ.get('CPG_LDL_BM_FUSED', '0') == '1'):
+                # batch-major fused factor+inverse: one launch, factor
+                # panels VMEM-resident (no L/d/Linv HBM round-trip
+                # between the factor and inverse kernels)
+                from ..ops.ldl_kernel import ldl_kinv_pallas
+                dd = st.ldl_dyn_delta or \
+                    float(jnp.finfo(dtype).eps) ** 0.5 * 0.1
+                Kinv = ldl_kinv_pallas(K, signs=signs, dyn_delta=dd,
+                                       block_b=min(32, B))
+
+                def _ldl_solve(rhs):
+                    return jnp.einsum('bij,bj->bi', Kinv, rhs)
+
+                fac = None
             elif on_tpu_kernels:
                 # fused one-kernel factorization (ops/ldl_kernel.py): the
                 # XLA lowering is launch-bound on TPU.  block_b capped at

@@ -156,3 +156,32 @@ def test_inverse_pallas_matches_xla():
     np.testing.assert_allclose(Kinv, Kinv_ref, rtol=2e-3, atol=2e-4)
     R = np.eye(N) - np.einsum('bij,bjk->bik', K, Kinv.astype(np.float64))
     assert np.abs(R).max() < 1e-3
+
+
+def test_kinv_pallas_batch_major_matches_xla():
+    """Batch-major fused factor+inverse (interpret) == ldl_factor +
+    ldl_inverse."""
+    import jax.numpy as jnp
+    from cvxpygen_tpu.ops.ldl_batched import ldl_factor, ldl_inverse
+    from cvxpygen_tpu.ops.ldl_kernel import ldl_kinv_pallas
+    rng = np.random.default_rng(13)
+    B, n, mc = 5, 9, 12
+    N = n + mc
+    G = rng.standard_normal((B, mc, n))
+    Hs = rng.standard_normal((B, mc, mc)) * 0.3
+    H = np.einsum('bij,bkj->bik', Hs, Hs) + np.eye(mc)
+    K = np.zeros((B, N, N))
+    K[:, :n, :n] = np.eye(n)
+    K[:, :n, n:] = -np.swapaxes(G, 1, 2)
+    K[:, n:, :n] = -G
+    K[:, n:, n:] = -H
+    signs = np.concatenate([np.ones(n), -np.ones(mc)])
+    Kj = jnp.asarray(K, jnp.float32)
+    dd = float(jnp.finfo(jnp.float32).eps) ** 0.5 * 0.1
+    fac = ldl_factor(Kj, signs=signs, dyn_delta=dd)
+    Kinv_ref = np.asarray(ldl_inverse(fac))
+    Kinv = np.asarray(ldl_kinv_pallas(Kj, signs=signs, dyn_delta=dd,
+                                      block_b=4, interpret=True))
+    np.testing.assert_allclose(Kinv, Kinv_ref, rtol=2e-3, atol=2e-4)
+    R = np.eye(N) - np.einsum('bij,bjk->bik', K, Kinv.astype(np.float64))
+    assert np.abs(R).max() < 1e-3
