@@ -30,7 +30,7 @@ import numpy as np
 
 
 def _materialize(x):
-    # on the axon relay, block_until_ready alone does NOT guarantee
+    # on stdio-relay TPU transports, block_until_ready alone does NOT guarantee
     # completion; timings must materialize a device-side scalar
     import jax.numpy as jnp
     return float(jnp.sum(x))
@@ -69,7 +69,7 @@ def _gate_family(name, frac_solved, parity=None, parity_bar=1e-2):
 
 def main():
     import jax
-    # persistent compile cache: remote AOT compiles on the axon relay take
+    # persistent compile cache: remote AOT compiles over a TPU relay can take
     # minutes; cache hits make re-runs start in seconds
     try:
         jax.config.update('jax_compilation_cache_dir',
@@ -146,8 +146,8 @@ def main():
           file=sys.stderr, flush=True)
 
     # per-rep scalar materialization: conservative (each rep pays a relay
-    # round trip) but the only reliable completion barrier on the axon
-    # relay.  Chained async dispatch was MEASURED SLOWER end-to-end here
+    # round trip) but the only reliable completion barrier on a stdio-relay
+    # TPU transport.  Chained async dispatch was MEASURED SLOWER end-to-end here
     # (queued RPCs hit the relay's backlogged >200 ms regime), so per-rep
     # drain is both honest and faster.
     reps = int(os.environ.get('BENCH_REPS', '10'))

@@ -1,6 +1,6 @@
 """Per-stage timing of the batched MPC-QP solve (perf work tool).
 
-Methodology on the axon stdio relay (see BENCH.md):
+Methodology on stdio-relay TPU transports (see BENCH.md):
 - every stage reduces to a device-side scalar before fetching (np.asarray
   of a big array would time a multi-hundred-MB host transfer, not compute);
 - all device arrays are explicit jit ARGUMENTS, never closure constants

@@ -104,10 +104,11 @@ def generate_code(problem, code_dir='cpg_code', solver=None, solver_opts=None,
     if os.path.exists(lic_src):
         shutil.copy(lic_src, os.path.join(code_dir, 'LICENSE'))
     # standalone C project (parity: reference cpg_example.c +
-    # CMakeLists, buildable without Python): ADMM core for QP/SOC
-    # families, lookup-table evaluator for explicit ones; only
-    # exp/PSD/pow families have no embedded artifact (mirroring the
-    # reference's embedded SCS cone coverage, scs.py:130-135)
+    # CMakeLists, buildable without Python): ADMM core for QP/SOC/exp/pow
+    # families, lookup-table evaluator for explicit ones; only PSD
+    # families have no embedded artifact (the projection needs an
+    # eigendecomposition; the reference draws the same line by leaving
+    # PSD to vendored Clarabel/LAPACK, scs.py:130-135)
     c_dir = None
     try:
         theta0 = fam.pack_theta(params=problem.parameters())

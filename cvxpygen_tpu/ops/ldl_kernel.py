@@ -293,8 +293,15 @@ def ldl_inverse_pallas(fac, block_b: int = None, interpret=False):
     demand vs the 101.6M limit; bb=32 fits with ~45M headroom."""
     import os
     if block_b is None:
-        block_b = int(os.environ.get('CPG_LDL_INV_BB', '32'))
+        try:
+            block_b = int(os.environ.get('CPG_LDL_INV_BB', '32'))
+        except ValueError:
+            block_b = 32
+        if block_b <= 0:
+            block_b = 32
     L, d, Linv = fac['L'], fac['d'], fac['Linv']
+    # small batches: don't pad B up to a full block (ADVICE r4)
+    block_b = min(block_b, L.shape[0])
     p, N, Np = fac['panel'], fac['N'], fac['Np']
     nbp = Np // p
     B = L.shape[0]

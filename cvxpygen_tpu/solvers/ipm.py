@@ -515,6 +515,14 @@ def _ipm_solve_impl(P, q, E, f, G, h, l_nonneg, socs,
     # Schur complement S = H + C' Ktop^{-1} C (see IPMSettings
     # .ldl_two_level).  C = [[-G'], [0]] is the fixed coupling block.
     ldl_fixed = None
+    if kkt_mode == 'ldl' and st.ldl_two_level and not st.ldl_inverse:
+        # the two-level path is only implemented over the explicit-
+        # inverse solve; silently falling back to the full-K
+        # factorization would hide the setting (ADVICE r4)
+        import warnings
+        warnings.warn('IPMSettings.ldl_two_level requires '
+                      'ldl_inverse=True; falling back to the full-K '
+                      'LDL factorization', stacklevel=2)
     if kkt_mode == 'ldl' and st.ldl_two_level and st.ldl_inverse:
         import numpy as _np
         Nt = n + mz

@@ -3,7 +3,7 @@
 Tests run on a virtual 8-device CPU mesh (multi-chip sharding validated
 without TPU hardware) with float64 enabled for the oracle comparisons.
 
-NOTE: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var;
+NOTE: some TPU plugins ignore the JAX_PLATFORMS env var;
 the config API must be used, before any computation.
 """
 import os
