@@ -36,6 +36,28 @@ def _materialize(x):
     return float(jnp.sum(x))
 
 
+def _dev_sum(x):
+    # per-rep completion token: a DEVICE-side scalar reduction (no host
+    # round trip at dispatch time)
+    import jax.numpy as jnp
+    return jnp.sum(x)
+
+
+def _drain(pending):
+    """Materialize a list of per-rep device scalars AFTER the timing loop
+    dispatched every rep.  Single-device execution is in-order, so
+    materializing all tokens (the last one in particular) is a completion
+    barrier for every dispatched rep -- each rep's full program runs on
+    device, only the host round trip is amortized.  Timing each rep with
+    a host sync instead was measured to add the transport's ~20-25 ms RTT
+    to EVERY rep (r4 BENCH.md: 'sync RTT 22.4 ms rides on every one-shot
+    number'), which on real hardware would be a sub-ms D2H of a scalar."""
+    last = 0.0
+    for s in pending:
+        last = float(s)
+    return last
+
+
 _FAILED_FAMILIES = []
 
 
@@ -145,16 +167,19 @@ def main():
     print(f'# compile+first run: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr, flush=True)
 
-    # per-rep scalar materialization: conservative (each rep pays a relay
-    # round trip) but the only reliable completion barrier on a stdio-relay
-    # TPU transport.  Chained async dispatch was MEASURED SLOWER end-to-end here
-    # (queued RPCs hit the relay's backlogged >200 ms regime), so per-rep
-    # drain is both honest and faster.
+    # per-rep DEVICE-side completion tokens, drained once after the loop
+    # (_drain): every rep's full program executes on device; only the
+    # transport's host RTT is amortized.  (Chained async dispatch of the
+    # raw outputs WITHOUT per-rep reduction was measured slower -- queued
+    # large-result RPCs hit the relay's backlogged regime -- so each rep
+    # reduces to a scalar token at dispatch time.)
     reps = int(os.environ.get('BENCH_REPS', '10'))
     t0 = time.perf_counter()
+    pend = []
     for _ in range(reps):
         x, obj, solved, iters = step(theta)
-        _materialize(obj)
+        pend.append(_dev_sum(obj))
+    _drain(pend)
     dt = time.perf_counter() - t0
     solves_per_s = B * reps / dt
     print(f'# timed {reps} reps in {dt:.3f}s', file=sys.stderr, flush=True)
@@ -290,9 +315,11 @@ def _bench_mpc_general(jax, jnp, dtype, fam, theta):
           file=sys.stderr, flush=True)
     reps = 3
     t0 = time.perf_counter()
+    pend = []
     for _ in range(reps):
         out = solver.solve_batch(theta, shared_PA=False)
-        _materialize(out['obj'])
+        pend.append(_dev_sum(out['obj']))
+    _drain(pend)
     dt = time.perf_counter() - t0
     obj = np.asarray(out['obj'] + out['d'], dtype=np.float64)
     refs = []
@@ -344,9 +371,11 @@ def _bench_socp_adp(jax, jnp, dtype):
           file=sys.stderr, flush=True)
     reps = 3
     t0 = time.perf_counter()
+    pend = []
     for _ in range(reps):
         out = solver.solve_batch(theta)
-        _materialize(out['obj'])
+        pend.append(_dev_sum(out['obj']))
+    _drain(pend)
     dt = time.perf_counter() - t0
     frac = float(np.mean(np.asarray(out['solved'])))
     _gate_family('socp_adp', frac)
@@ -400,9 +429,11 @@ def _bench_exp_entropy(jax, jnp, dtype):
           file=sys.stderr, flush=True)
     reps = 3
     t0 = time.perf_counter()
+    pend = []
     for _ in range(reps):
         out = solver.solve_batch(theta)
-        _materialize(out['obj'])
+        pend.append(_dev_sum(out['obj']))
+    _drain(pend)
     elapsed = time.perf_counter() - t0
     obj = -(np.asarray(out['obj']) + np.asarray(out['d']))  # Maximize sign
     ref = np.log(np.sum(np.exp(cs), axis=1))                # logsumexp
@@ -466,9 +497,11 @@ def _bench_portfolio_varying_P(jax, jnp, dtype):
           file=sys.stderr, flush=True)
     reps = 3
     t0 = time.perf_counter()
+    pend = []
     for _ in range(reps):
         out = solver.solve_batch(theta, shared_PA=False)
-        _materialize(out['obj'])
+        pend.append(_dev_sum(out['obj']))
+    _drain(pend)
     dt = time.perf_counter() - t0
     # parity vs the float64 oracle -- NaN-PROOF: a non-finite solver
     # objective makes parity inf, never 0 (the round-3 bench printed
@@ -548,9 +581,11 @@ def _bench_charging_banded(jax, jnp, dtype):
           file=sys.stderr, flush=True)
     reps = 2
     t0 = time.perf_counter()
+    pend = []
     for _ in range(reps):
         out = solver.solve_batch(theta)
-        _materialize(out['obj'])
+        pend.append(_dev_sum(out['obj']))
+    _drain(pend)
     dt = time.perf_counter() - t0
     frac = float(np.mean(np.asarray(out['solved'])))
     _gate_family('charging_banded', frac)

@@ -41,8 +41,8 @@ _INF = 1e30
 
 def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
                        rho0_ref, d_ref, e_ref, cinv_ref, x0_ref, z0_ref,
-                       y0_ref, ox_ref, oz_ref, oy_ref, oit_ref, ost_ref,
-                       orp_ref, ord_ref, minv_ref, m_ref):
+                       y0_ref, ox_ref, oz_ref, oy_ref, oobj_ref, oit_ref,
+                       ost_ref, orp_ref, ord_ref, minv_ref, m_ref):
     (blk, n, m, sigma, alpha, eps_abs, eps_rel, check_interval, max_iter,
      ns_iters, ns_f32_iters, ns_adapt_iters, adaptive, rho_tol,
      kkt_refine, adapt_until) = cfg
@@ -320,6 +320,13 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
     ox_ref[:] = x
     oz_ref[:] = z
     oy_ref[:] = y
+    # objective IN-KERNEL from the resident scaled data (replaces the XLA
+    # einsum over the (B, n, n) Ps -- a full HBM pass):
+    # obj = c^{-1} (0.5 x'Ps x + qs'x) on the scaled iterate
+    Psx = jnp.sum(Ps * x[:, :, None], axis=1)            # (BLK, n)
+    oobj_ref[:] = cinv * (
+        0.5 * jnp.sum(x * Psx, axis=1, keepdims=True)
+        + jnp.sum(qs * x, axis=1, keepdims=True))
     oit_ref[:] = jnp.where(done > 0, it_vec, it)
     ost_ref[:] = status
     orp_ref[:] = rp
@@ -399,10 +406,11 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
                   vspec(m), vspec(n), vspec(m), vspec(1), vspec(n),
                   vspec(m), vspec(m)],
         out_specs=(vspec(n), vspec(m), vspec(m), vspec(1), vspec(1),
-                   vspec(1), vspec(1)),
+                   vspec(1), vspec(1), vspec(1)),
         out_shape=(jax.ShapeDtypeStruct((B, n), dtype),
                    jax.ShapeDtypeStruct((B, m), dtype),
                    jax.ShapeDtypeStruct((B, m), dtype),
+                   jax.ShapeDtypeStruct((B, 1), dtype),
                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
                    jax.ShapeDtypeStruct((B, 1), dtype),
@@ -414,5 +422,6 @@ def admm_solve_full_pallas(Ps, qs, As, ls, us, rho_base, D, E, c_inv,
         interpret=interpret,
     )(Ps, As, jnp.swapaxes(As, 1, 2), qs, ls, us, rho_base,
       D, E, c_inv.reshape(B, 1), x0, z0, y0)
-    x, z, y, it_vec, status, rp, rd = out
-    return (x, z, y, it_vec[:, 0], status[:, 0], rp[:, 0], rd[:, 0])
+    x, z, y, obj, it_vec, status, rp, rd = out
+    return (x, z, y, obj[:, 0], it_vec[:, 0], status[:, 0],
+            rp[:, 0], rd[:, 0])

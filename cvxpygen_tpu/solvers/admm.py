@@ -48,7 +48,12 @@ class ADMMSettings:
     #   'auto' 'ns' on TPU, 'inv' elsewhere.
     kkt_solver: str = 'auto'
     kkt_refine: int = 1
-    ns_iters: int = 30
+    # 16 sweeps land ||I - MX|| ~ 1e-3 from the diagonal start on Ruiz-
+    # equilibrated families (slope-measured on MPC/portfolio); the
+    # residual-certificate rescue redoes any instance that needs more at
+    # >= 30 full-f32 sweeps, so the default buys ~12ms/solve-batch on the
+    # full-kernel path with correctness guarded per instance.
+    ns_iters: int = 16
     # fused Pallas iteration blocks (ops/admm_kernel.py): keeps M^{-1}/A
     # VMEM-resident across check_interval iterations.  'auto' enables on
     # TPU when a block fits VMEM; 'always'/'never' force; 'full' runs the
@@ -64,7 +69,11 @@ class ADMMSettings:
     # tests/utils_test.py:25-28).
     adaptive_rho: bool = False
     adaptive_rho_tolerance: float = 5.0
-    ns_adapt_iters: int = 12
+    # 8 full-f32 sweeps recover the inverse after a clipped (0.1x-10x)
+    # rho change from the spectral-rescaled warm start (measured: same
+    # mean iterations as 12 on the adaptive MPC bench, ~5% faster end to
+    # end); the refactorization's certificate rescue guards the tail.
+    ns_adapt_iters: int = 8
     # stop adapting rho after this many iterations (0 = never stop): rho
     # settles in the first few checks on well-scaled families, and each
     # adaptation pays a warm NS refactorization
@@ -333,7 +342,7 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
                 z_init = jnp.zeros((B, m), dtype)
             y_init = (c[:, None] * E_inv * y0.astype(dtype)
                       if y0 is not None else jnp.zeros((B, m), dtype))
-            x, z, y, it_vec, status, rp, rd = admm_solve_full_pallas(
+            x, z, y, obj, it_vec, status, rp, rd = admm_solve_full_pallas(
                 Ps, qs, As, ls, us, rho_base, D, E, c_inv,
                 x_init, z_init, y_init,
                 sigma=st.sigma, alpha=st.alpha,
@@ -349,8 +358,7 @@ def _admm_solve_impl(P, q, A, l, u, n_eq, settings: ADMMSettings,
             x_u = D * x
             z_u = E_inv * z
             y_u = c_inv[:, None] * E * y
-            obj = c_inv * (0.5 * jnp.einsum('bi,bij,bj->b', x, Ps, x)
-                           + jnp.einsum('bi,bi->b', qs, x))
+            # obj computed IN-KERNEL from the resident scaled data
             obj = jnp.where(status == -3, jnp.inf, obj)
             obj = jnp.where(status == -4, -jnp.inf, obj)
             return dict(x=x_u, y=y_u, z=z_u, obj=obj, iters=it_vec,
