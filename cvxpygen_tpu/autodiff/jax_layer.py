@@ -37,7 +37,7 @@ class JaxLayer:
     arrays (see module docstring)."""
 
     def __init__(self, problem, parameters, variables, settings=None,
-                 shared_PA=False):
+                 shared_PA=False, banded='auto'):
         fam = canonicalize(problem)
         self._fam = fam
 
@@ -66,10 +66,30 @@ class JaxLayer:
             tight = 1e-8 if jf.maps.dtype == jnp.float64 else 1e-6
             st = settings or ADMMSettings(eps_abs=tight, eps_rel=tight,
                                           max_iter=20000)
-            from .qp_diff import make_diff_solve
-            # shared_PA=True: batch shares canonical P/A (only vector
-            # params vary) -> shared-KKT fast path even under jit
-            solve = make_diff_solve(jf, st, shared_PA=shared_PA)
+            # banded='auto': long-horizon QP families route to the
+            # banded forward + banded implicit-diff backward
+            # (autodiff/qp_diff_banded.py) -- the dense backward's
+            # (B, n+m, n+m) reduced KKT is ~800MB/instance at charging
+            # T=1440 scale.  True forces it; False forces dense.
+            struct = None
+            if banded is True or (banded == 'auto'
+                                  and fam.n + fam.m > 1500):
+                from ..solvers.admm_banded import build_banded_structure
+                struct = build_banded_structure(
+                    fam.P_idx, fam.A_idx, fam.n, fam.m)
+                if struct is None and banded is True:
+                    raise ValueError('banded=True: family KKT pattern is '
+                                     'not block-banded')
+            self._banded = struct is not None
+            if struct is not None:
+                from .qp_diff_banded import make_diff_solve_banded
+                jf_sc = JaxFamily.from_family(fam, force_scatter=True)
+                solve = make_diff_solve_banded(jf_sc, struct, st)
+            else:
+                from .qp_diff import make_diff_solve
+                # shared_PA=True: batch shares canonical P/A (only
+                # vector params vary) -> shared-KKT fast path under jit
+                solve = make_diff_solve(jf, st, shared_PA=shared_PA)
         self._solve_x = lambda theta: solve(theta)['x']
 
     # -- traced packing (differentiable) --------------------------------
