@@ -581,11 +581,14 @@ def _bench_charging_banded(jax, jnp, dtype):
           file=sys.stderr, flush=True)
     reps = 2
     t0 = time.perf_counter()
-    pend = []
     for _ in range(reps):
         out = solver.solve_batch(theta)
-        pend.append(_dev_sum(out['obj']))
-    _drain(pend)
+        # per-rep host sync HERE ONLY: the banded engine dispatches one
+        # kernel per check interval (~13 launches + XLA glue per rep),
+        # and queueing two un-synced reps of it was observed to stall the
+        # stdio-relay transport indefinitely (the backlogged-RPC regime);
+        # the other rows are single-launch-dominant and use _drain.
+        _materialize(out['obj'])
     dt = time.perf_counter() - t0
     frac = float(np.mean(np.asarray(out['solved'])))
     _gate_family('charging_banded', frac)

@@ -137,7 +137,9 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
             errs.append(jnp.max(jnp.abs(eye - MX), axis=(0, 1),
                                 keepdims=True))
         err = jnp.concatenate(errs, axis=0)             # (BLK, 1)
-        bad = jnp.logical_not(err < 0.5)
+        # 0.05 gate: see solvers/admm.py _ns_rescue -- err ~ 0.2-0.4
+        # inverses pass 0.5 but degrade tight-eps families
+        bad = jnp.logical_not(err < 0.05)
 
         @pl.when(jnp.any(bad))
         def _():
@@ -152,7 +154,8 @@ def _full_solve_kernel(cfg, p_ref, a_ref, at_ref, q_ref, l_ref, u_ref,
                 X0b = eye * (dgi / jnp.maximum(ninfb, 1.0))[None, :]
                 # scalar predicate from the f32 certificate (Mosaic cannot
                 # squeeze a bool vector element to a scalar)
-                minv_ref[b] = jnp.where(err[b, 0] < 0.5, minv_ref[b], X0b)
+                minv_ref[b] = jnp.where(err[b, 0] < 0.05, minv_ref[b],
+                                        X0b)
             ns_sweep(M, max(ns_iters, 30), jax.lax.Precision.HIGHEST)
 
     def factor_cold(M):
