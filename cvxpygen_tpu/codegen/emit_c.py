@@ -271,6 +271,13 @@ def write_c_artifact(code_dir, fam, theta_default=None):
     for pi in fam.param_info:
         fh.append(f'void cpg_update_{pi.name}(void* h, int64_t idx, '
                   'double val);\n')
+    # user-variable offsets/sizes in x: where to place gradient seeds
+    # (reference cpg_update_d<var> role, writer.py:222-230) and read
+    # solutions from cpg_native_get_x
+    for vi in fam.user_vars:
+        tag = vi.name.upper()
+        fh.append(f'#define CPG_VAR_{tag}_OFFSET {vi.offset}\n'
+                  f'#define CPG_VAR_{tag}_SIZE {vi.size}\n')
     fh.append('#ifdef __cplusplus\n}\n#endif\n#endif\n')
     with open(os.path.join(cdir, 'cpg_family.h'), 'w') as f:
         f.write(''.join(fh))
