@@ -413,3 +413,41 @@ def test_standalone_c_artifact_charging_T1440(tmp_path):
     obj_jax = float(np.asarray(res['obj'])[0])
     assert abs(obj_c - obj_jax) < 1e-2 * max(1.0, abs(obj_jax)), \
         (obj_c, obj_jax)
+
+
+def test_native_gradient_dual_seed_matches_jax():
+    """C gradient with a DUAL-space seed (gy) == the JAX vjp seeded on
+    the y output: the active-row masking must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvxpygen_tpu.autodiff.qp_diff import make_diff_solve
+    from cvxpygen_tpu.native import NativeQPSolver
+    from cvxpygen_tpu.runtime.jax_family import JaxFamily
+    from cvxpygen_tpu.solvers.admm import ADMMSettings
+
+    make, assign = ALL['MPC']
+    prob = make()
+    assign(prob, seed=1)
+    fam = canonicalize(prob)
+    theta = np.asarray(fam.pack_theta(params=prob.parameters()), float)
+    rng = np.random.default_rng(2)
+    gyv = rng.standard_normal(fam.m)
+
+    jf = JaxFamily.from_family(fam)
+    st = ADMMSettings(eps_abs=1e-11, eps_rel=1e-11, max_iter=400000,
+                      use_pallas='never')
+    dsolve = make_diff_solve(jf, settings=st)
+
+    def loss(th):
+        out = dsolve(th[None, :])
+        return jnp.sum(out['y'][0] * jnp.asarray(gyv))
+
+    g_jax = np.asarray(jax.grad(loss)(jnp.asarray(theta)))
+
+    ns = NativeQPSolver(fam)
+    ns.set_settings(eps_abs=1e-11, eps_rel=1e-11, max_iter=400000)
+    out = ns.solve(theta)
+    assert out['solved']
+    g_c = ns.gradient(gy=gyv)
+    np.testing.assert_allclose(g_c, g_jax, rtol=1e-4, atol=1e-6)
