@@ -95,7 +95,7 @@ class NativeQPSolver:
                    'eps_rel': 4, 'max_iter': 5, 'warm_start': 6,
                    'rho_eq_scale': 7}
 
-    def __init__(self, family):
+    def __init__(self, family, force_sparse=False):
         if getattr(family, 'psd_dims', ()):
             raise ValueError('native solver: PSD cones are not embeddable '
                              '(the projection needs an eigendecomposition; '
@@ -122,8 +122,10 @@ class NativeQPSolver:
         from ..runtime.jax_family import _expand_rows
         n, m = family.n, family.m
         # large families: sparse COO P/A + banded-Cholesky core under a
-        # codegen-time RCM permutation (no dense-expanded maps at all)
-        self.sparse_mode = (n * n + m * n) * family.p1 > 5e7
+        # codegen-time RCM permutation (no dense-expanded maps at all);
+        # force_sparse exercises the path on small families (tests)
+        self.sparse_mode = (force_sparse
+                            or (n * n + m * n) * family.p1 > 5e7)
         if self.sparse_mode:
             if (family.soc_dims or getattr(family, 'n_exp', 0)
                     or getattr(family, 'pow_alphas', ())):
@@ -191,11 +193,15 @@ class NativeQPSolver:
             self.h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         self.lib.cpg_native_get_y(
             self.h, y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        status = self.lib.cpg_native_status(self.h)
         return dict(
             x=x, y=y, y_canon=-y,
             obj=self.lib.cpg_native_obj(self.h),
             iters=self.lib.cpg_native_iters(self.h),
-            solved=self.lib.cpg_native_status(self.h) == 1,
+            solved=status == 1,
+            # 1 optimal, 0 max_iter, -3 primal infeasible, -4 dual
+            # infeasible/unbounded (OSQP section 3.4 certificates)
+            status=status,
             pri_res=self.lib.cpg_native_pri_res(self.h),
             dua_res=self.lib.cpg_native_dua_res(self.h))
 

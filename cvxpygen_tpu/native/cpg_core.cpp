@@ -594,8 +594,11 @@ void solve_sparse(Workspace* w) {
     }
   }
   std::vector<double> rhs(n), tb(n), xt(n), zt(m);
+  std::vector<double> x_prev(x), y_prev(y);   // previous-check state for
+                                              // the infeasibility deltas
   int32_t it = 0;
   bool solved = false;
+  int32_t cert = 0;
   for (it = 0; it < w->max_iter; ++it) {
     for (int64_t j = 0; j < n; ++j) rhs[j] = w->sigma * x[j] - qs[j];
     for (int64_t k = 0; k < m; ++k) {
@@ -652,6 +655,73 @@ void solve_sparse(Workspace* w) {
         ++it;
         break;
       }
+      // OSQP section 3.4 infeasibility certificates on the check-to-
+      // check deltas (mirrors the full kernel / solvers/admm.py)
+      {
+        const double eps_inf = 1e-4, tol0 = 1e-12;
+        double dy_n = 0.0, dx_n = 0.0;
+        for (int64_t k = 0; k < m; ++k)
+          dy_n = std::max(dy_n,
+                          std::fabs(E[k] * (y[k] - y_prev[k])) / c);
+        for (int64_t j = 0; j < n; ++j)
+          dx_n = std::max(dx_n, std::fabs(D[j] * (x[j] - x_prev[j])));
+        if (dy_n > 1e-10) {
+          std::vector<double> atdy(n, 0.0);
+          double sup = 0.0;
+          bool open_dir = false;
+          for (int64_t k = 0; k < m; ++k) {
+            double dyk = y[k] - y_prev[k];
+            for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+              atdy[acol[a]] += aval[a] * dyk;
+            double edy = E[k] * dyk;
+            bool u_open = w->u[k] >= kInf * 0.5;
+            bool l_open = w->l[k] <= -kInf * 0.5;
+            sup += ((u_open ? 0.0 : w->u[k]) * std::max(edy, 0.0)
+                    + (l_open ? 0.0 : w->l[k]) * std::min(edy, 0.0)) / c;
+            if ((dyk > tol0 && u_open) || (dyk < -tol0 && l_open))
+              open_dir = true;
+          }
+          double c1 = 0.0;
+          for (int64_t j = 0; j < n; ++j)
+            c1 = std::max(c1, std::fabs(atdy[j] / D[j]) / c);
+          if (c1 <= eps_inf * dy_n && sup <= -eps_inf * dy_n &&
+              !open_dir) {
+            cert = -3;
+            ++it;
+            break;
+          }
+        }
+        if (dx_n > 1e-10) {
+          std::vector<double> pdx(n, 0.0);
+          double qdx = 0.0;
+          for (int64_t e = 0; e < nnzP; ++e)
+            pdx[w->P_ii[e]] += pv[e] * (x[w->P_jj[e]] - x_prev[w->P_jj[e]]);
+          double c1 = 0.0;
+          for (int64_t j = 0; j < n; ++j) {
+            c1 = std::max(c1, std::fabs(pdx[j] / D[j]) / c);
+            qdx += qs[j] * (x[j] - x_prev[j]);
+          }
+          bool rows_ok = true;
+          for (int64_t k = 0; k < m && rows_ok; ++k) {
+            double adx = 0.0;
+            for (int64_t a = arp[k]; a < arp[k + 1]; ++a)
+              adx += aval[a] * (x[acol[a]] - x_prev[acol[a]]);
+            adx /= E[k];
+            if (!(w->u[k] >= kInf * 0.5 || adx <= eps_inf * dx_n))
+              rows_ok = false;
+            if (!(w->l[k] <= -kInf * 0.5 || adx >= -eps_inf * dx_n))
+              rows_ok = false;
+          }
+          if (c1 <= eps_inf * dx_n && qdx / c <= -eps_inf * dx_n &&
+              rows_ok) {
+            cert = -4;
+            ++it;
+            break;
+          }
+        }
+        x_prev = x;
+        y_prev = y;
+      }
     }
   }
   // unscale + objective
@@ -670,7 +740,9 @@ void solve_sparse(Workspace* w) {
     w->y[k] = E[k] * y[k] / c;
   }
   w->iters = it;
-  w->status = solved ? 1 : 0;
+  w->status = solved ? 1 : cert;
+  if (cert == -3) w->obj = kInf;
+  if (cert == -4) w->obj = -kInf;
 }
 
 void canonicalize(Workspace* w) {
@@ -801,8 +873,11 @@ void solve(Workspace* w) {
     }
   }
   std::vector<double> rhs(n), xt(n), zt(m), wv(m);
+  std::vector<double> x_prev(x), y_prev(y);   // previous-check state for
+                                              // the infeasibility deltas
   int32_t it = 0;
   bool solved = false;
+  int32_t cert = 0;
   for (it = 0; it < w->max_iter; ++it) {
     for (int64_t j = 0; j < n; ++j) rhs[j] = w->sigma * x[j] - qs[j];
     for (int64_t k = 0; k < m; ++k) {
@@ -900,6 +975,73 @@ void solve(Workspace* w) {
         ++it;
         break;
       }
+      // OSQP section 3.4 infeasibility certificates on the check-to-
+      // check deltas (box-QP families; the conic layout uses the JAX
+      // conic engine's certificates)
+      if (!w->conic) {
+        const double eps_inf = 1e-4, tol0 = 1e-12;
+        double dy_n = 0.0, dx_n = 0.0;
+        for (int64_t k = 0; k < m; ++k)
+          dy_n = std::max(dy_n,
+                          std::fabs(E[k] * (y[k] - y_prev[k])) / c);
+        for (int64_t j = 0; j < n; ++j)
+          dx_n = std::max(dx_n, std::fabs(D[j] * (x[j] - x_prev[j])));
+        if (dy_n > 1e-10) {
+          double sup = 0.0, c1 = 0.0;
+          bool open_dir = false;
+          for (int64_t j = 0; j < n; ++j) {
+            double atdy = 0.0;
+            for (int64_t k = 0; k < m; ++k)
+              atdy += As[k * n + j] * (y[k] - y_prev[k]);
+            c1 = std::max(c1, std::fabs(atdy / D[j]) / c);
+          }
+          for (int64_t k = 0; k < m; ++k) {
+            double dyk = y[k] - y_prev[k];
+            double edy = E[k] * dyk;
+            bool u_open = w->u[k] >= kInf * 0.5;
+            bool l_open = w->l[k] <= -kInf * 0.5;
+            sup += ((u_open ? 0.0 : w->u[k]) * std::max(edy, 0.0)
+                    + (l_open ? 0.0 : w->l[k]) * std::min(edy, 0.0)) / c;
+            if ((dyk > tol0 && u_open) || (dyk < -tol0 && l_open))
+              open_dir = true;
+          }
+          if (c1 <= eps_inf * dy_n && sup <= -eps_inf * dy_n &&
+              !open_dir) {
+            cert = -3;
+            ++it;
+            break;
+          }
+        }
+        if (dx_n > 1e-10) {
+          double c1 = 0.0, qdx = 0.0;
+          for (int64_t j = 0; j < n; ++j) {
+            double pdx = 0.0;
+            for (int64_t i2 = 0; i2 < n; ++i2)
+              pdx += Ps[j * n + i2] * (x[i2] - x_prev[i2]);
+            c1 = std::max(c1, std::fabs(pdx / D[j]) / c);
+            qdx += qs[j] * (x[j] - x_prev[j]);
+          }
+          bool rows_ok = true;
+          for (int64_t k = 0; k < m && rows_ok; ++k) {
+            double adx = 0.0;
+            for (int64_t j = 0; j < n; ++j)
+              adx += As[k * n + j] * (x[j] - x_prev[j]);
+            adx /= E[k];
+            if (!(w->u[k] >= kInf * 0.5 || adx <= eps_inf * dx_n))
+              rows_ok = false;
+            if (!(w->l[k] <= -kInf * 0.5 || adx >= -eps_inf * dx_n))
+              rows_ok = false;
+          }
+          if (c1 <= eps_inf * dx_n && qdx / c <= -eps_inf * dx_n &&
+              rows_ok) {
+            cert = -4;
+            ++it;
+            break;
+          }
+        }
+        x_prev = x;
+        y_prev = y;
+      }
     }
   }
   // unscale + objective
@@ -919,7 +1061,9 @@ void solve(Workspace* w) {
     w->y[k] = E[k] * y[k] / c;
   }
   w->iters = it;
-  w->status = solved ? 1 : 0;
+  w->status = solved ? 1 : cert;
+  if (cert == -3) w->obj = kInf;
+  if (cert == -4) w->obj = -kInf;
 }
 
 }  // namespace

@@ -451,3 +451,39 @@ def test_native_gradient_dual_seed_matches_jax():
     assert out['solved']
     g_c = ns.gradient(gy=gyv)
     np.testing.assert_allclose(g_c, g_jax, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize('force_sparse', [False, True])
+def test_native_infeasibility_certificates(force_sparse):
+    """The embedded core detects primal/dual infeasibility via the OSQP
+    section-3.4 delta certificates (parity with the JAX engines and the
+    full kernel), in BOTH the dense and the sparse/banded solve paths."""
+    import cvxpygen_tpu as ct
+    from cvxpygen_tpu.native import NativeQPSolver
+
+    # primal infeasible: 1 <= x0 <= -1
+    x = ct.Variable(2, name='xv')
+    lo = ct.Parameter(2, name='lo')
+    hi = ct.Parameter(2, name='hi')
+    prob = ct.Problem(ct.Minimize(ct.sum_squares(x)), [x >= lo, x <= hi])
+    lo.value = np.array([1.0, 0.0])
+    hi.value = np.array([-1.0, 2.0])
+    fam = canonicalize(prob)
+    ns = NativeQPSolver(fam, force_sparse=force_sparse)
+    assert ns.sparse_mode == force_sparse or ns.sparse_mode
+    out = ns.solve(fam.pack_theta(params=prob.parameters()))
+    assert out['status'] == -3, out
+    assert np.isposinf(out['obj']) or out['obj'] >= 1e29
+
+    # dual infeasible / unbounded: min x0 - x1 with x >= 0
+    x2 = ct.Variable(2, name='x2')
+    p = ct.Parameter(2, name='pc')
+    lo2 = ct.Parameter(2, name='lo2')
+    prob2 = ct.Problem(ct.Minimize(p @ x2), [x2 >= lo2])
+    p.value = np.array([1.0, -1.0])
+    lo2.value = np.zeros(2)
+    fam2 = canonicalize(prob2)
+    ns2 = NativeQPSolver(fam2, force_sparse=force_sparse)
+    out2 = ns2.solve(fam2.pack_theta(params=prob2.parameters()))
+    assert out2['status'] == -4, out2
+    assert np.isneginf(out2['obj']) or out2['obj'] <= -1e29
