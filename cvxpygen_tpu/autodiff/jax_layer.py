@@ -59,6 +59,7 @@ class JaxLayer:
         jf = JaxFamily.from_family(fam)
         conic = bool(jf.soc_dims or jf.n_exp or jf.psd_dims
                      or getattr(jf, 'pow_alphas', ()))
+        self._banded = False
         if conic:
             from .conic_diff import make_conic_diff_solve
             solve = make_conic_diff_solve(jf, settings)
