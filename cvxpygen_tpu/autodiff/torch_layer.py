@@ -61,7 +61,21 @@ class TorchLayer:
         tight = 1e-8 if jf.maps.dtype == jnp.float64 else 1e-6
         settings = settings or ADMMSettings(eps_abs=tight, eps_rel=tight,
                                             max_iter=20000)
-        solve = make_diff_solve(jf, settings)
+        # long-horizon banded QP families route to the banded vjp (no
+        # dense (B, n+m, n+m) reduced KKT), mirroring JaxLayer
+        self._banded = False
+        struct = None
+        if fam.n + fam.m > 1500:
+            from ..solvers.admm_banded import build_banded_structure
+            struct = build_banded_structure(
+                fam.P_idx, fam.A_idx, fam.n, fam.m)
+        if struct is not None:
+            from .qp_diff_banded import make_diff_solve_banded
+            jf_sc = JaxFamily.from_family(fam, force_scatter=True)
+            solve = make_diff_solve_banded(jf_sc, struct, settings)
+            self._banded = True
+        else:
+            solve = make_diff_solve(jf, settings)
         self._solve_x = lambda theta: solve(theta)['x']
         self._p = fam.p
 

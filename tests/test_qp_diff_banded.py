@@ -103,3 +103,26 @@ def test_banded_bwd_matches_dense_small():
     gob = np.asarray(jax.grad(
         lambda th: jnp.sum(band(th)['obj']))(theta))
     np.testing.assert_allclose(gob, god, rtol=2e-4, atol=1e-7)
+
+
+def test_torch_layer_routes_banded():
+    """TorchLayer mirrors JaxLayer's banded auto-routing; gradients flow
+    through the banded vjp into torch autograd."""
+    torch = pytest.importorskip('torch')
+    from cvxpygen_tpu.autodiff.torch_layer import TorchLayer
+    T = 288
+    prob = assign_charging(charging_problem(T), T=T)
+    p = prob.param_dict['p']
+    gamma = prob.param_dict['gamma']
+    u = prob.var_dict['u']
+    layer = TorchLayer(prob, parameters=[p, gamma], variables=[u])
+    assert layer._banded
+    pv = torch.tensor(np.asarray(p.value), requires_grad=True,
+                      dtype=torch.float64)
+    gv = torch.tensor(float(gamma.value), dtype=torch.float64)
+    (uval,) = layer(pv, gv)
+    loss = uval.sum()
+    loss.backward()
+    g = pv.grad.numpy()
+    assert g.shape == (T,)
+    assert np.all(np.isfinite(g)) and np.any(g != 0)
