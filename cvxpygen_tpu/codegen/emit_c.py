@@ -359,6 +359,16 @@ int main(void) {
       acc += cpg_FB[(best_r * CPG_NSTORE + i) * (CPG_PR + 1) + j] * tt[j];
     printf("x[%d] = %.9g\\n", (int)cpg_store_idx[i], acc);
   }
+  /* explicit gradient (reference pdaqp gradient-patch role): inside a
+   * region the solution is affine in theta, so the region's feedback
+   * row IS the exact Jacobian dx_i/dtheta_j -- print it for the first
+   * stored variable (reduced-theta coordinates cpg_th_sel[j]) */
+  if (CPG_NSTORE > 0) {
+    for (int j = 0; j < CPG_PR; ++j)
+      printf("dx[%d]/dtheta[%d] = %.9g\\n", (int)cpg_store_idx[0],
+             (int)cpg_th_sel[j],
+             cpg_FB[(best_r * CPG_NSTORE + 0) * (CPG_PR + 1) + j]);
+  }
   return 0;
 }
 '''

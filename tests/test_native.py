@@ -487,3 +487,62 @@ def test_native_infeasibility_certificates(force_sparse):
     out2 = ns2.solve(fam2.pack_theta(params=prob2.parameters()))
     assert out2['status'] == -4, out2
     assert np.isneginf(out2['obj']) or out2['obj'] <= -1e29
+
+
+def test_native_sparse_warm_start():
+    """Sparse/banded core warm start: second solve from the first's
+    solution converges in fewer iterations."""
+    from test_admm_banded import assign_charging, charging_problem
+    from cvxpygen_tpu.native import NativeQPSolver
+    T = 96
+    prob = assign_charging(charging_problem(T), T=T)
+    fam = canonicalize(prob)
+    theta = fam.pack_theta(params=prob.parameters())
+    ns = NativeQPSolver(fam, force_sparse=True)
+    ns.set_settings(eps_abs=1e-6, eps_rel=1e-6, max_iter=200000)
+    out1 = ns.solve(theta)
+    assert out1['solved']
+    ns.set_settings(warm_start=1)
+    out2 = ns.solve(theta)
+    assert out2['solved']
+    assert out2['iters'] <= out1['iters']
+    np.testing.assert_allclose(out2['obj'], out1['obj'], rtol=1e-5)
+
+
+def test_standalone_c_artifact_explicit_gradient(tmp_path):
+    """The explicit C artifact prints the region-feedback Jacobian
+    dx/dtheta (explicit gradient surface, reference pdaqp patch role);
+    values match the ExplicitRuntime's cpg_gradient."""
+    import re
+    import subprocess
+    from cvxpygen_tpu import cpg
+
+    make_p, assign = ALL['MPC_explicit'] if 'MPC_explicit' in ALL else (None, None)
+    if make_p is None:
+        # build a small explicit family directly
+        import cvxpygen_tpu as ct
+        x = ct.Variable(2, name='xe')
+        th = ct.Parameter(2, name='th')
+        prob = ct.Problem(ct.Minimize(ct.sum_squares(x - th)),
+                          [x >= 0, x <= 1])
+        th.value = np.array([0.3, 0.7])
+    code_dir = str(tmp_path / 'pkg')
+    mod = cpg.generate_code(prob, code_dir=code_dir, solver='explicit',
+                            solver_opts=dict(theta_box=1.5),
+                            gradient=True)
+    cdir = tmp_path / 'pkg' / 'c'
+    subprocess.run(['make'], cwd=cdir, check=True, capture_output=True)
+    out = subprocess.run(['./cpg_example'], cwd=cdir, check=True,
+                         capture_output=True, text=True).stdout
+    ms = re.findall(r'dx\[(\d+)\]/dtheta\[(\d+)\] = ([-\d.e+]+)', out)
+    assert ms, out
+    # cross-check vs the Python explicit runtime gradient
+    prob.solve(method='CPG')
+    v = prob.var_dict['xe']
+    v.gradient = np.array([1.0, 0.0])     # seed = e_0 -> dtheta = dx0/dth
+    grads = mod.cpg_gradient(prob)
+    g_th = np.asarray(grads['th'] if 'th' in grads
+                      else prob.param_dict['th'].gradient).ravel()
+    c_grad = {int(j): float(v3) for i, j, v3 in ms if int(i) == 0}
+    for j, val in c_grad.items():
+        assert abs(val - g_th[j]) < 1e-6, (j, val, g_th[j])
